@@ -1,0 +1,1 @@
+"""(stub, populated later this round)"""
