@@ -1,0 +1,195 @@
+"""Batched functional env core: state pytree, auto-reset, episode bookkeeping.
+
+The reference's env loop is host-side Python over one Bullet world per env
+object [ref: env_bases.py · BaseBulletEnv.step/reset]; here an env *batch*
+is a pytree of arrays and `step` is one jitted function:
+
+    action -> torques -> frame_skip physics substeps -> obs/reward/done
+           -> auto-reset (lax.select per env) -> bookkeeping
+
+all on-device, zero host crossings. Auto-reset uses gymnasium's "next-step"
+semantics: the obs returned alongside done=True is the terminal obs; the
+following step starts the new episode (the reference requires a manual
+`reset()` call instead [ref: env_bases.py · BaseBulletEnv.reset]).
+
+NaN guard: the reference forces done when the state goes non-finite
+[ref: walker_base_env.py · step]; we do the same per env in the batch.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pybulletgym_tpu.models.schema import Model
+from pybulletgym_tpu.ops.step import PhysicsConfig, make_physics_step
+
+
+class EnvState(NamedTuple):
+    """Everything about a batch of envs, batch-trailing layout internally.
+
+    `aux` holds task-specific per-env scalars (potential, walk target, ...);
+    `rewards` holds the reference's reward decomposition
+    [ref: walker_base_env.py · step — self.rewards list].
+    """
+
+    q: jax.Array            # (nq, B)
+    v: jax.Array            # (nv, B)
+    obs: jax.Array          # (obs_dim, B)
+    reward: jax.Array       # (B,)
+    terminated: jax.Array   # (B,) bool
+    truncated: jax.Array    # (B,) bool
+    step_count: jax.Array   # (B,) int32
+    epoch: jax.Array        # (B,) uint32 — reset counter, feeds RNG streams
+    env_id: jax.Array       # (B,) int32
+    seed: jax.Array         # (B,) uint32
+    aux: Dict[str, jax.Array]
+    rewards: Dict[str, jax.Array]
+
+    @property
+    def done(self):
+        return self.terminated | self.truncated
+
+
+class Task:
+    """Per-env-family behavior: initial states, torque mapping, obs/reward.
+
+    Concrete tasks (locomotion, pendula, manipulation) implement:
+      model, physics: PhysicsConfig, obs_dim, act_dim, max_episode_steps,
+      initial_state(seed, env_id, epoch) -> (q, v, aux)
+      action_tau(action (act,B)) -> tau (nv, B)
+      output(q, v, depths, action, aux) -> (obs, reward, terminated,
+                                            new_aux, reward_components)
+    """
+
+    model: Model
+    physics: PhysicsConfig
+    obs_dim: int
+    act_dim: int
+    max_episode_steps: int
+
+    def initial_state(self, seed, env_id, epoch):
+        raise NotImplementedError
+
+    def action_tau(self, action):
+        raise NotImplementedError
+
+    def output(self, q, v, depths, action, aux):
+        raise NotImplementedError
+
+
+def make_env(task: Task):
+    """Build (reset_fn, step_fn) pure functions for a task.
+
+    reset_fn(seed: (B,) uint32, env_id, epoch) -> EnvState
+    step_fn(state, action (act, B)) -> EnvState
+    """
+    phys_step, plan, n_rows = make_physics_step(task.model, task.physics)
+
+    def _fresh(seed, env_id, epoch):
+        q, v, aux = task.initial_state(seed, env_id, epoch)
+        return q, v, aux
+
+    def reset_fn(seed, env_id, epoch):
+        q, v, aux = _fresh(seed, env_id, epoch)
+        B = q.shape[-1]
+        zero_depths = jnp.zeros((n_rows, B), q.dtype)
+        zero_act = jnp.zeros((task.act_dim, B), q.dtype)
+        obs, _, _, aux, comps = task.output(q, v, zero_depths, zero_act, aux)
+        zb = jnp.zeros((B,), q.dtype)
+        return EnvState(
+            q=q, v=v, obs=obs, reward=zb,
+            terminated=jnp.zeros((B,), bool), truncated=jnp.zeros((B,), bool),
+            step_count=jnp.zeros((B,), jnp.int32),
+            epoch=jnp.asarray(epoch, jnp.uint32),
+            env_id=jnp.asarray(env_id, jnp.int32),
+            seed=jnp.asarray(seed, jnp.uint32),
+            aux=aux, rewards={k: zb for k in comps},
+        )
+
+    def step_fn(state: EnvState, action) -> EnvState:
+        # ---- auto-reset envs that finished last step -------------------
+        need = state.done
+        epoch = state.epoch + need.astype(jnp.uint32)
+        fq, fv, faux = _fresh(state.seed, state.env_id, epoch)
+        q = jnp.where(need[None, :], fq, state.q)
+        v = jnp.where(need[None, :], fv, state.v)
+        aux = {
+            k: jnp.where(need, faux[k], state.aux[k]) if faux[k].ndim == 1
+            else jnp.where(need[None, :], faux[k], state.aux[k])
+            for k in faux
+        }
+        step_count = jnp.where(need, 0, state.step_count)
+
+        # ---- physics + outputs ----------------------------------------
+        a = jnp.clip(action, -1.0, 1.0)
+        tau = task.action_tau(a)
+        q2, v2, depths = phys_step(q, v, tau)
+        obs, reward, terminated, aux2, comps = task.output(q2, v2, depths, a, aux)
+
+        # ---- NaN guard [ref: walker_base_env.py · step isfinite check] --
+        bad = ~(
+            jnp.all(jnp.isfinite(obs), axis=0)
+            & jnp.all(jnp.isfinite(q2), axis=0)
+            & jnp.all(jnp.isfinite(v2), axis=0)
+        )
+        terminated = terminated | bad
+        obs = jnp.nan_to_num(obs, nan=0.0, posinf=0.0, neginf=0.0)
+        reward = jnp.nan_to_num(reward, nan=0.0, posinf=0.0, neginf=0.0)
+
+        step_count = step_count + 1
+        truncated = (step_count >= task.max_episode_steps) & ~terminated
+        return EnvState(
+            q=q2, v=v2, obs=obs, reward=reward,
+            terminated=terminated, truncated=truncated,
+            step_count=step_count, epoch=epoch,
+            env_id=state.env_id, seed=state.seed,
+            aux=aux2, rewards=comps,
+        )
+
+    return reset_fn, step_fn
+
+
+class BatchedEnv:
+    """Convenience host-side wrapper: jitted reset/step over a fixed batch.
+
+    The batch-leading (B, dim) convention is used at this public boundary;
+    internally everything is batch-trailing (see ops.step docstring).
+    """
+
+    def __init__(self, task: Task, batch_size: int, jit: bool = True):
+        self.task = task
+        self.batch_size = batch_size
+        self._reset, self._step = make_env(task)
+        if jit:
+            self._reset = jax.jit(self._reset)
+            self._step = jax.jit(self._step)
+
+    @property
+    def observation_size(self) -> int:
+        return self.task.obs_dim
+
+    @property
+    def action_size(self) -> int:
+        return self.task.act_dim
+
+    def reset(self, seed: int = 0, epoch: int = 0) -> EnvState:
+        B = self.batch_size
+        return self._reset(
+            jnp.full((B,), seed, jnp.uint32),
+            jnp.arange(B, dtype=jnp.int32),
+            jnp.full((B,), epoch, jnp.uint32),
+        )
+
+    def step(self, state: EnvState, action) -> EnvState:
+        """action: (B, act_dim) batch-leading (public convention)."""
+        return self._step(state, jnp.asarray(action).T)
+
+    @staticmethod
+    def observations(state: EnvState):
+        """(B, obs_dim) batch-leading view of the current observations."""
+        return state.obs.T

@@ -1,0 +1,333 @@
+"""Locomotion tasks: Hopper, Walker2D, HalfCheetah, Ant, Humanoid (+ the
+Flagrun variants in envs.flagrun).
+
+Implements the Roboschool walker contract exactly as reconstructed in
+SURVEY §2.6/§2.7:
+
+* obs  = clip(concat(more(8), joints(2n), feet_contact(nf)), -5, 5)
+  [ref: …/robots/locomotors/walker_base.py · WalkerBase.calc_state]
+* joint obs are limit-normalized positions and 0.1-scaled velocities
+  [ref: robot_bases.py · Joint.current_relative_position]
+* reward = alive + progress + electricity + joints_at_limit + feet_collision
+  with electricity_cost=-2.0, stall_torque_cost=-0.1,
+  joints_at_limit_cost=-0.1 (Humanoid scales electricity/stall by 4.25)
+  [ref: …/envs/locomotion/walker_base_env.py · WalkerBaseBulletEnv.step]
+* torque_j = power * power_coef_j * clip(a_j, -1, 1)
+  [ref: walker_base.py · WalkerBase.apply_action]
+* reset: every ordered joint set to uniform(-0.1, 0.1), zero velocity
+  [ref: walker_base.py · robot_specific_reset]
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from pybulletgym_tpu.models.mjcf import load_mjcf
+from pybulletgym_tpu.models.schema import Model
+from pybulletgym_tpu.ops import dynamics as dyn
+from pybulletgym_tpu.ops import rand
+from pybulletgym_tpu.ops import smath as sm
+from pybulletgym_tpu.ops.contacts import SolverConfig, build_contact_plan, plan_row_geoms
+from pybulletgym_tpu.ops.step import PhysicsConfig
+from pybulletgym_tpu.envs.base import Task
+from pybulletgym_tpu.models.assets import asset_path
+
+
+@dataclasses.dataclass(frozen=True)
+class WalkerSpec:
+    """Static description of one locomotion env (SURVEY §2.4/§2.6)."""
+
+    name: str
+    xml: str
+    power: float
+    alive_mode: str                     # 'hopper' | 'cheetah' | 'ant' | 'humanoid'
+    foot_geoms: Tuple[str, ...]         # geom names, reference foot_list order
+    coef_overrides: Dict[str, float] = dataclasses.field(default_factory=dict)
+    cost_scale: float = 1.0             # Humanoid: 4.25
+    max_episode_steps: int = 1000
+    self_collision: Tuple[Tuple[str, str], ...] = ()
+
+
+class WalkerTask(Task):
+    electricity_cost = -2.0
+    stall_torque_cost = -0.1
+    joints_at_limit_cost = -0.1
+    foot_collision_cost = -1.0
+
+    def __init__(self, spec: WalkerSpec, model: Optional[Model] = None):
+        self.spec = spec
+        self.model = model if model is not None else load_mjcf(asset_path(spec.xml))
+        m = self.model
+        solver = SolverConfig(self_collision_pairs=spec.self_collision)
+        # Walker timing [ref: scene_bases.py · SinglePlayerStadiumScene]:
+        # gravity 9.8, timestep 0.0165/4, frame_skip 4.
+        self.physics = PhysicsConfig(
+            timestep=0.0165 / 4, frame_skip=4, gravity=(0.0, 0.0, -9.8), solver=solver
+        )
+
+        # ordered joints = actuated joints in document order
+        # [ref: robot_bases.py · XmlBasedRobot.addToScene — ordered_joints]
+        self.act_dofs = np.array([a.v_adr for a in m.actuators], np.int32)
+        self.act_qadr = np.array(
+            [_qadr(m, a.v_adr) for a in m.actuators], np.int32
+        )
+        gains = []
+        for a in m.actuators:
+            coef = spec.coef_overrides.get(a.joint, a.gear)
+            gains.append(spec.power * coef)
+        self.gains = np.array(gains, np.float32)[:, None]
+        lo = m.jnt_range[self.act_dofs, 0].astype(np.float32)
+        hi = m.jnt_range[self.act_dofs, 1].astype(np.float32)
+        self.j_mid = ((lo + hi) / 2.0)[:, None]
+        self.j_halfrange = ((hi - lo) / 2.0)[:, None]
+
+        self.act_dim = len(m.actuators)
+        self.obs_dim = 8 + 2 * self.act_dim + len(spec.foot_geoms)
+        self.max_episode_steps = spec.max_episode_steps
+
+        # foot geom -> contact candidate rows (static)
+        row_geoms = plan_row_geoms(build_contact_plan(m, solver))
+        self.foot_rows = tuple(
+            tuple(i for i, g in enumerate(row_geoms) if g == fg)
+            for fg in spec.foot_geoms
+        )
+        for fg, rows in zip(spec.foot_geoms, self.foot_rows):
+            if not rows:
+                raise ValueError(f"{spec.name}: foot geom {fg!r} has no contact rows")
+
+        self.base_body = m.body_index("torso")
+        # original MJCF frames for the mean-parts xyz (reference `parts`)
+        self.part_frames = tuple(
+            (host, np.asarray(pos), np.asarray(quat))
+            for name, (host, pos, quat) in m.frames.items()
+            if host >= 0
+        )
+        self.initial_z = self._initial_z()
+        self.walk_target = (1e3, 0.0)
+
+    # ------------------------------------------------------------------
+    def _initial_z(self) -> float:
+        m = self.model
+        q = [jnp.float32(x) for x in m.qpos0]
+        v = [jnp.float32(0.0)] * m.nv
+        fk = dyn.forward_kinematics(m, q, v, with_inertia=False)
+        return float(fk.com[self.base_body][2])
+
+    def initial_state(self, seed, env_id, epoch):
+        m = self.model
+        B = seed.shape[0]
+        q = jnp.tile(jnp.asarray(m.qpos0, jnp.float32)[:, None], (1, B))
+        for i, qa in enumerate(self.act_qadr):
+            u = rand.uniform(seed, i, env_id, epoch, -0.1, 0.1)
+            q = q.at[qa].set(m.qpos0[qa] + u)
+        v = jnp.zeros((m.nv, B), jnp.float32)
+        tx = jnp.full((B,), self.walk_target[0], jnp.float32)
+        ty = jnp.full((B,), self.walk_target[1], jnp.float32)
+        aux = {
+            # exact reset potential (reference: reset() ends with
+            # calc_potential() [ref: env_bases.py · BaseBulletEnv.reset])
+            "potential": self._potential(q, v, tx, ty),
+            "initial_z": jnp.full((B,), self.initial_z, jnp.float32),
+            "target_x": tx,
+            "target_y": ty,
+        }
+        return q, v, aux
+
+    def _potential(self, q, v, tx, ty):
+        m = self.model
+        fk = dyn.forward_kinematics(
+            m, [q[i] for i in range(m.nq)], [v[i] for i in range(m.nv)],
+            with_inertia=False,
+        )
+        bx, by = self._mean_parts_xy(fk)
+        dist = jnp.sqrt((tx - bx) ** 2 + (ty - by) ** 2)
+        return -dist / self.physics.control_dt
+
+    def _mean_parts_xy(self, fk):
+        xs, ys = [], []
+        for host, pos, quat in self.part_frames:
+            p = sm.v3_add(fk.p[host], sm.m3_vec(fk.R[host], tuple(float(x) for x in pos)))
+            xs.append(p[0])
+            ys.append(p[1])
+        return sum(xs) / len(xs), sum(ys) / len(ys)
+
+    def action_tau(self, a):
+        B = a.shape[-1]
+        tau = jnp.zeros((self.model.nv, B), a.dtype)
+        return tau.at[self.act_dofs].set(jnp.asarray(self.gains) * a)
+
+    # ------------------------------------------------------------------
+    def output(self, q, v, depths, a, aux):
+        m = self.model
+        q_s = [q[i] for i in range(m.nq)]
+        v_s = [v[i] for i in range(m.nv)]
+        fk = dyn.forward_kinematics(m, q_s, v_s, with_inertia=False)
+
+        # ---- joint observations -------------------------------------
+        jp = q[self.act_qadr]                              # (n, B)
+        jv = v[self.act_dofs]
+        rel = (jp - jnp.asarray(self.j_mid)) / jnp.asarray(self.j_halfrange)
+        jspeed = 0.1 * jv
+        joints_at_limit = jnp.sum((jnp.abs(rel) > 0.99).astype(q.dtype), axis=0)
+
+        # ---- base pose & velocity ------------------------------------
+        Rb = fk.R[self.base_body]
+        com = fk.com[self.base_body]
+        roll = jnp.arctan2(Rb[7], Rb[8])
+        pitch = jnp.arctan2(-Rb[6], jnp.sqrt(Rb[7] ** 2 + Rb[8] ** 2))
+        yaw = jnp.arctan2(Rb[3], Rb[0])
+        ang, lin_o = fk.vel[self.base_body]
+        vel = sm.v3_add(lin_o, sm.v3_cross(ang, com))      # base COM velocity
+
+        # mean of part xyz (reference body_xyz; z comes from the base)
+        bx, by = self._mean_parts_xy(fk)
+        bz = com[2]
+
+        tx, ty = aux["target_x"], aux["target_y"]
+        dx, dy = tx - bx, ty - by
+        angle_to_target = jnp.arctan2(dy, dx) - yaw
+        dist = jnp.sqrt(dx * dx + dy * dy)
+
+        cy, sy = jnp.cos(-yaw), jnp.sin(-yaw)
+        vx = cy * vel[0] - sy * vel[1]
+        vy = sy * vel[0] + cy * vel[1]
+        vz = vel[2]
+
+        # ---- feet contact flags (getContactPoints replacement) --------
+        feet = [
+            jnp.max(
+                jnp.stack([(depths[r] > 0.0) for r in rows], 0).astype(q.dtype), axis=0
+            )
+            for rows in self.foot_rows
+        ]
+
+        more = jnp.stack(
+            [
+                bz - aux["initial_z"],
+                jnp.sin(angle_to_target),
+                jnp.cos(angle_to_target),
+                0.3 * vx,
+                0.3 * vy,
+                0.3 * vz,
+                roll,
+                pitch,
+            ],
+            0,
+        )
+        jobs = jnp.stack([rel, jspeed], axis=1).reshape(2 * self.act_dim, -1)
+        obs = jnp.clip(jnp.concatenate([more, jobs, jnp.stack(feet, 0)], 0), -5.0, 5.0)
+
+        # ---- rewards [ref: walker_base_env.py · step] ------------------
+        alive = self._alive(bz, pitch, feet)
+        potential = -dist / self.physics.control_dt
+        progress = potential - aux["potential"]
+        electricity = self.spec.cost_scale * (
+            self.electricity_cost * jnp.mean(jnp.abs(a * jspeed), axis=0)
+            + self.stall_torque_cost * jnp.mean(a * a, axis=0)
+        )
+        limit_cost = self.joints_at_limit_cost * joints_at_limit
+        feet_collision = jnp.zeros_like(alive)  # stadium ground only
+        reward = alive + progress + electricity + limit_cost + feet_collision
+        terminated = alive < 0
+
+        new_aux = dict(aux)
+        new_aux["potential"] = potential
+        comps = {
+            "alive": alive,
+            "progress": progress,
+            "electricity": electricity,
+            "joints_at_limit": limit_cost,
+            "feet_collision": feet_collision,
+        }
+        return obs, reward, terminated, new_aux, comps
+
+    def _alive(self, z, pitch, feet):
+        """alive_bonus(z, pitch) [ref: per-robot classes, SURVEY §2.6]."""
+        mode = self.spec.alive_mode
+        one = jnp.ones_like(z)
+        if mode == "hopper":  # Hopper & Walker2D
+            ok = (z > 0.8) & (jnp.abs(pitch) < 1.0)
+            return jnp.where(ok, one, -one)
+        if mode == "cheetah":
+            # dead if a shin or thigh (foot_list indices 1,2,4,5) touches
+            bad_touch = (feet[1] + feet[2] + feet[4] + feet[5]) > 0.5
+            ok = (jnp.abs(pitch) < 1.0) & ~bad_touch
+            return jnp.where(ok, one, -one)
+        if mode == "ant":
+            return jnp.where(z > 0.26, one, -one)
+        if mode == "humanoid":
+            return jnp.where(z > 0.78, 2.0 * one, -one)
+        raise ValueError(mode)
+
+
+def _qadr(model: Model, v_adr: int) -> int:
+    for b in model.bodies:
+        if b.v_adr == v_adr:
+            return b.q_adr
+    raise ValueError(v_adr)
+
+
+# ---------------------------------------------------------------------------
+# roster (SURVEY §2.4/§2.6 constants)
+# ---------------------------------------------------------------------------
+
+HOPPER = WalkerSpec(
+    name="hopper",
+    xml="hopper.xml",
+    power=0.75,
+    alive_mode="hopper",
+    foot_geoms=("foot_geom",),
+)
+
+WALKER2D = WalkerSpec(
+    name="walker2d",
+    xml="walker2d.xml",
+    power=0.40,
+    alive_mode="hopper",
+    foot_geoms=("foot_geom", "foot_left_geom"),
+    coef_overrides={"foot_joint": 30.0, "foot_left_joint": 30.0},
+)
+
+HALF_CHEETAH = WalkerSpec(
+    name="half_cheetah",
+    xml="half_cheetah.xml",
+    power=0.90,
+    alive_mode="cheetah",
+    foot_geoms=("ffoot", "fshin", "fthigh", "bfoot", "bshin", "bthigh"),
+    coef_overrides={
+        "bthigh": 120.0, "bshin": 90.0, "bfoot": 60.0,
+        "fthigh": 140.0, "fshin": 60.0, "ffoot": 30.0,
+    },
+)
+
+ANT = WalkerSpec(
+    name="ant",
+    xml="ant.xml",
+    power=2.5,
+    alive_mode="ant",
+    foot_geoms=(
+        "left_ankle_geom", "right_ankle_geom", "third_ankle_geom", "fourth_ankle_geom"
+    ),
+)
+
+HUMANOID = WalkerSpec(
+    name="humanoid",
+    xml="humanoid.xml",
+    power=0.41,
+    alive_mode="humanoid",
+    foot_geoms=("right_foot", "left_foot"),
+    cost_scale=4.25,
+    coef_overrides={
+        "abdomen_z": 100.0, "abdomen_y": 100.0, "abdomen_x": 100.0,
+        "right_hip_x": 100.0, "right_hip_z": 100.0, "right_hip_y": 300.0,
+        "right_knee": 200.0,
+        "left_hip_x": 100.0, "left_hip_z": 100.0, "left_hip_y": 300.0,
+        "left_knee": 200.0,
+        "right_shoulder1": 75.0, "right_shoulder2": 75.0, "right_elbow": 75.0,
+        "left_shoulder1": 75.0, "left_shoulder2": 75.0, "left_elbow": 75.0,
+    },
+)

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from typing import List, NamedTuple, Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -85,7 +86,7 @@ def _rodrigues(u, theta):
     )
 
 
-def forward_kinematics(model: Model, q: Sequence, v: Sequence) -> FK:
+def forward_kinematics(model: Model, q: Sequence, v: Sequence, with_inertia: bool = True) -> FK:
     """World-frame FK + motion subspaces + body velocities.
 
     Matches what Bullet recomputes inside stepSimulation and exposes via
@@ -156,12 +157,14 @@ def forward_kinematics(model: Model, q: Sequence, v: Sequence) -> FK:
 
         if b.mass > 0.0:
             com_w = sm.v3_add(pi, sm.m3_vec(Ri, _const_v3(b.com)))
-            ic_w = sm.m3_similarity(Ri, _const_m3(b.inertia))
-            IN[i] = sm.inertia_from_body(float(b.mass), com_w, ic_w)
             COM[i] = com_w
+            if with_inertia:
+                ic_w = sm.m3_similarity(Ri, _const_m3(b.inertia))
+                IN[i] = sm.inertia_from_body(float(b.mass), com_w, ic_w)
         else:
-            IN[i] = sm.inertia_zero(like)
             COM[i] = pi
+            if with_inertia:
+                IN[i] = sm.inertia_zero(like)
 
     return FK(R, P, S, VEL, COM, IN)
 
@@ -253,6 +256,122 @@ def mass_matrix(model: Model, fk: FK) -> List[List]:
         if arm != 0.0:
             M[d][d] = M[d][d] + arm
     return M
+
+
+# ---------------------------------------------------------------------------
+# packed (array-level) dynamics: the graph-size/TPU-efficiency path.
+# Scalar recursions above produce per-body/per-dof pieces; here they are
+# stacked into (nv, 6, B)/(B, nv, nv) arrays so the mass matrix, bias
+# vector, and all M⁻¹-solves become a handful of batched XLA ops (einsum +
+# lax.linalg.cholesky/triangular_solve) instead of thousands of scalars.
+# ---------------------------------------------------------------------------
+
+
+def pack_S(model: Model, fk: FK):
+    """Stack per-dof motion subspaces into a (nv, 6, B...) array."""
+    rows = []
+    for d in range(model.nv):
+        ang, lin = fk.S[d]
+        rows.append(jnp.stack([ang[0], ang[1], ang[2], lin[0], lin[1], lin[2]], 0))
+    return jnp.stack(rows, 0)
+
+
+def ancestor_mask(model: Model) -> np.ndarray:
+    """(nv, nv) lower-triangular CRBA sparsity: mask[d, e] = 1 iff dof e is
+    on dof d's root path (including d itself) and e <= d."""
+    mask = np.zeros((model.nv, model.nv), dtype=np.float32)
+    for i in range(len(model.bodies)):
+        anc = model.ancestor_dofs[i]
+        for d in model.body_dofs[i]:
+            for e in anc:
+                if e <= d:
+                    mask[d, e] = 1.0
+    return mask
+
+
+def crba_packed(model: Model, fk: FK, S6):
+    """Mass matrix (B..., nv, nv): composite inertias accumulate as scalar
+    leafwise sums (cheap); per-dof forces F = Ic·S stack into an einsum."""
+    nb = len(model.bodies)
+    Ic = list(fk.inertia)
+    for i in range(nb - 1, -1, -1):
+        p = model.bodies[i].parent
+        if p != -1:
+            Ic[p] = sm.inertia_add(Ic[p], Ic[i])
+
+    F_rows = []
+    for i, b in enumerate(model.bodies):
+        for d in model.body_dofs[i]:
+            n, f = sm.inertia_mul(Ic[i], fk.S[d])
+            F_rows.append(jnp.stack([n[0], n[1], n[2], f[0], f[1], f[2]], 0))
+    F = jnp.stack(F_rows, 0)  # (nv, 6, B...)
+
+    mask = jnp.asarray(ancestor_mask(model))
+    E = jnp.einsum("dk...,ek...->de...", F, S6)
+    bshape = E.shape[2:]
+    maskb = mask.reshape(mask.shape + (1,) * len(bshape))
+    Ml = maskb * E
+    M = Ml + jnp.swapaxes(Ml, 0, 1) - jnp.eye(model.nv).reshape(maskb.shape[:2] + (1,) * len(bshape)) * E
+    arm = np.diag(model.dof_armature.astype(np.float32))
+    if arm.any():
+        M = M + jnp.asarray(arm).reshape(arm.shape + (1,) * len(bshape))
+    # (nv, nv, B...) -> (B..., nv, nv) for lax.linalg
+    perm = tuple(range(2, 2 + len(bshape))) + (0, 1)
+    return jnp.transpose(M, perm)
+
+
+def bias_packed(model: Model, fk: FK, gravity, S6):
+    """C(q, qd) as a (nv, B...) array (world-frame RNE, packed dot)."""
+    C_list = bias_forces_pieces(model, fk, gravity)
+    Fsub = jnp.stack(C_list, 0)  # (nv, 6, B...)
+    return jnp.einsum("dk...,dk...->d...", S6, Fsub)
+
+
+def bias_forces_pieces(model: Model, fk: FK, gravity) -> List:
+    """Subtree bias forces gathered per dof as stacked 6-vectors (helper for
+    bias_packed; the recursion itself is the same as bias_forces)."""
+    nb = len(model.bodies)
+    like = fk.vel[0][0][0]
+    gx, gy, gz = (float(g) for g in gravity)
+    a0 = (
+        sm.v3_zero(like),
+        (jnp.full_like(like, -gx), jnp.full_like(like, -gy), jnp.full_like(like, -gz)),
+    )
+    avp: List = [None] * nb
+    f: List = [None] * nb
+    for i, b in enumerate(model.bodies):
+        ap = a0 if b.parent == -1 else avp[b.parent]
+        vi = fk.vel[i]
+        parent_vel = fk.vel[b.parent] if b.parent != -1 else (sm.v3_zero(like), sm.v3_zero(like))
+        vj = sm.sv_sub(vi, parent_vel)
+        avp[i] = sm.sv_add(ap, sm.sv_cross_motion(vi, vj))
+        hi = sm.inertia_mul(fk.inertia[i], vi)
+        f[i] = sm.sv_add(sm.inertia_mul(fk.inertia[i], avp[i]), sm.sv_cross_force(vi, hi))
+    for i in range(nb - 1, -1, -1):
+        p = model.bodies[i].parent
+        if p != -1:
+            f[p] = sm.sv_add(f[p], f[i])
+    out = []
+    for i, b in enumerate(model.bodies):
+        for d in model.body_dofs[i]:
+            n, ff = f[i]
+            out.append(jnp.stack([n[0], n[1], n[2], ff[0], ff[1], ff[2]], 0))
+    return out
+
+
+def factorize(M):
+    """Batched Cholesky of (B..., nv, nv)."""
+    return jax.lax.linalg.cholesky(M)
+
+
+def solve_factored(Lc, rhs):
+    """Solve M x = rhs with Lc = chol(M); rhs (B..., nv, K)."""
+    y = jax.lax.linalg.triangular_solve(
+        Lc, rhs, left_side=True, lower=True, transpose_a=False
+    )
+    return jax.lax.linalg.triangular_solve(
+        Lc, y, left_side=True, lower=True, transpose_a=True
+    )
 
 
 # ---------------------------------------------------------------------------

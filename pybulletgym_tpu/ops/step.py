@@ -1,0 +1,196 @@
+"""Fused physics stepping: substep = dynamics + contacts + integrate.
+
+Replaces the reference's `scene.global_step()` -> `p.stepSimulation()`
+(one C++ call doing frame_skip substeps [ref: scene_bases.py · World.step]):
+here the whole control step — frame_skip × (FK -> forward dynamics -> PGS
+contact/limit solve -> semi-implicit Euler) — is ONE traced function with a
+`lax.scan` over substeps, so a batched rollout has zero host crossings
+(contrast the ~3n+5 Python↔C++ crossings per step in the reference,
+SURVEY §3.3).
+
+State layout at this API boundary: stacked batch-trailing arrays —
+``q: (nq, B)``, ``v: (nv, B)``, ``tau: (nv, B)`` — so the batch axis B sits
+in the TPU lane dimension for every elementwise op and is the natural axis
+to shard over a device mesh. Torques are held constant across substeps,
+matching Bullet's motor semantics
+[ref: robot_bases.py · Joint.set_motor_torque].
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pybulletgym_tpu.models.schema import JointType, Model
+from pybulletgym_tpu.ops import contacts as ct
+from pybulletgym_tpu.ops import dynamics as dyn
+from pybulletgym_tpu.ops import smath as sm
+
+
+@dataclasses.dataclass(frozen=True)
+class PhysicsConfig:
+    """Timing per the reference scene contract
+    [ref: scene_bases.py · Scene]: walkers run
+    fixedTimeStep=0.0165, numSubSteps=4 (physics dt 4.125 ms);
+    pendula/manipulators run timestep=0.0165, frame_skip=1."""
+
+    timestep: float = 0.0165 / 4
+    frame_skip: int = 4
+    gravity: Tuple[float, float, float] = (0.0, 0.0, -9.8)
+    solver: ct.SolverConfig = dataclasses.field(default_factory=ct.SolverConfig)
+
+    @property
+    def control_dt(self) -> float:
+        return self.timestep * self.frame_skip
+
+
+def _passive_tables(model: Model):
+    """(damping, stiffness, springref, q-index-per-dof, stiffness mask)."""
+    qmap = np.zeros(model.nv, dtype=np.int32)
+    smask = np.zeros(model.nv, dtype=np.float32)
+    for b in model.bodies:
+        if b.jtype != JointType.FREE:
+            qmap[b.v_adr] = b.q_adr
+            smask[b.v_adr] = 1.0
+    return (
+        model.dof_damping.astype(np.float32)[:, None],
+        (model.dof_stiffness.astype(np.float32) * smask)[:, None],
+        model.dof_springref.astype(np.float32)[:, None],
+        qmap,
+    )
+
+
+def _free_bodies(model: Model):
+    return [b for b in model.bodies if b.jtype == JointType.FREE]
+
+
+def make_substep(model: Model, cfg: PhysicsConfig):
+    plan = ct.build_contact_plan(model, cfg.solver)
+    lim = ct.build_limit_plan(model)
+    R = ct.plan_rows(plan)
+    L = 0 if lim is None else lim.dof.shape[0]
+    damp, stiff, sref, qmap = _passive_tables(model)
+    frees = _free_bodies(model)
+    no_free = not frees
+    if no_free:
+        assert model.nq == model.nv
+    # limit one-hot RHS columns (nv, L)
+    onehots = np.zeros((model.nv, L), dtype=np.float32)
+    for i in range(L):
+        onehots[lim.dof[i], i] = 1.0
+
+    def substep(q, v, tau):
+        """One physics substep on stacked arrays. Returns (q', v', depths)
+        with depths (R, B) — the `p.getContactPoints` replacement."""
+        B = q.shape[-1]
+        q_s = [q[i] for i in range(model.nq)]
+        v_s = [v[i] for i in range(model.nv)]
+        fk = dyn.forward_kinematics(model, q_s, v_s)
+        S6 = dyn.pack_S(model, fk)                       # (nv, 6, B)
+        M = dyn.crba_packed(model, fk, S6)               # (B, nv, nv)
+        C = dyn.bias_packed(model, fk, cfg.gravity, S6)  # (nv, B)
+        taup = -jnp.asarray(damp) * v - jnp.asarray(stiff) * (q[qmap] - jnp.asarray(sref))
+        rhs_dyn = tau + taup - C                         # (nv, B)
+
+        pc = ct.narrowphase(model, fk, plan)
+        J = ct.contact_jacobians(model, S6, pc) if pc is not None else None
+
+        # One batched Cholesky solve for qdd + every constraint row.
+        cols = [rhs_dyn.T[..., None]]                    # (B, nv, 1)
+        if pc is not None:
+            cols.append(jnp.transpose(J.reshape(3 * R, model.nv, B), (2, 1, 0)))
+        if lim is not None:
+            cols.append(jnp.broadcast_to(jnp.asarray(onehots), (B, model.nv, L)))
+        RHS = jnp.concatenate(cols, axis=-1)
+        Lc = dyn.factorize(M)
+        X = dyn.solve_factored(Lc, RHS)                  # (B, nv, K)
+        qdd = X[..., 0].T                                # (nv, B)
+        ofs = 1
+        w_sol = None
+        if pc is not None:
+            w_sol = jnp.transpose(X[..., ofs : ofs + 3 * R], (2, 1, 0)).reshape(
+                R, 3, model.nv, B
+            )
+            ofs += 3 * R
+        w_lim = None
+        if lim is not None:
+            w_lim = jnp.transpose(X[..., ofs : ofs + L], (2, 1, 0))  # (L, nv, B)
+
+        v2 = v + cfg.timestep * qdd
+        if pc is not None or lim is not None:
+            v3, vp, _ = ct.solve_packed(
+                cfg.solver, cfg.timestep, v2, q, pc, J, w_sol, lim, w_lim
+            )
+        else:
+            v3, vp = v2, jnp.zeros_like(v2)
+
+        # split impulse: pseudo-velocities only enter the position integral
+        q2 = _integrate(q, v3 + vp)
+        depths = pc.depth if pc is not None else jnp.zeros((0, B), q.dtype)
+        return q2, v3, depths
+
+    def _integrate(q, v_pos):
+        # hinge/slide-only models: q and v addresses coincide
+        if no_free:
+            return q + cfg.timestep * v_pos
+        return _integrate_mixed(q, v_pos)
+
+    def _integrate_mixed(q, v_pos):
+        hs_q, hs_v = [], []
+        for b in model.bodies:
+            if b.jtype != JointType.FREE:
+                hs_q.append(b.q_adr)
+                hs_v.append(b.v_adr)
+        q2 = q
+        if hs_q:
+            q2 = q2.at[np.array(hs_q)].add(cfg.timestep * v_pos[np.array(hs_v)])
+        dt = cfg.timestep
+        for b in frees:
+            qa, va = b.q_adr, b.v_adr
+            quat = (q[qa + 3], q[qa + 4], q[qa + 5], q[qa + 6])
+            Rm = sm.m3_from_quat(quat)
+            w_world = sm.m3_vec(Rm, (v_pos[va], v_pos[va + 1], v_pos[va + 2]))
+            v_world = sm.m3_vec(Rm, (v_pos[va + 3], v_pos[va + 4], v_pos[va + 5]))
+            nquat = sm.quat_integrate(quat, w_world, dt)
+            upd = jnp.stack(
+                [
+                    q[qa] + dt * v_world[0],
+                    q[qa + 1] + dt * v_world[1],
+                    q[qa + 2] + dt * v_world[2],
+                    nquat[0], nquat[1], nquat[2], nquat[3],
+                ],
+                0,
+            )
+            q2 = jax.lax.dynamic_update_slice_in_dim(q2, upd, qa, axis=0)
+        return q2
+
+    return substep, plan, R
+
+
+def make_physics_step(model: Model, cfg: PhysicsConfig):
+    """Control step: frame_skip substeps under lax.scan with held torques.
+
+    step(q (nq,B), v (nv,B), tau (nv,B)) -> (q', v', depths_last (R,B))
+    """
+    substep, plan, R = make_substep(model, cfg)
+
+    if cfg.frame_skip == 1:
+        return substep, plan, R
+
+    def step(q, v, tau):
+        zero_depths = jnp.zeros((R, q.shape[-1]), q.dtype)
+
+        def body(carry, _):
+            cq, cv, _ = carry
+            return substep(cq, cv, tau), None
+
+        (q2, v2, depths), _ = jax.lax.scan(
+            body, (q, v, zero_depths), None, length=cfg.frame_skip
+        )
+        return q2, v2, depths
+
+    return step, plan, R
