@@ -260,9 +260,19 @@ def _anc_weight(model: Model, body_a: int, body_b: Optional[int] = None) -> np.n
     return w
 
 
-def narrowphase(model: Model, fk, plan) -> Optional[PackedContacts]:
-    """Candidate points/normals/depths for the static plan. Scalar math per
-    candidate (SoA), then one stack per field."""
+class ScalarContacts(NamedTuple):
+    """Per-candidate scalar contact data (lists over the static plan)."""
+
+    P: list          # Vec3 per row (world contact points)
+    D: list          # per row: (normal, t1, t2) Vec3 triple
+    depth: list      # scalar per row
+    W: list          # np (nv,) signed ancestor weights per row
+    mu: list         # float per row
+
+
+def narrowphase_scalar(model: Model, fk, plan) -> Optional[ScalarContacts]:
+    """Candidate points/normals/depths for the static plan, as scalar lists
+    (the Pallas-kernel path; `narrowphase` packs the same data for XLA)."""
     floor_cands, pair_cands = plan
     like = fk.p[0][0]
     one = jnp.ones_like(like)
@@ -271,8 +281,8 @@ def narrowphase(model: Model, fk, plan) -> Optional[PackedContacts]:
     Ps, Ds, depths, Ws, mus = [], [], [], [], []
 
     def emit(point, dirs, depth, w, mu):
-        Ps.append(jnp.stack(list(point), 0))
-        Ds.append(jnp.stack([jnp.stack(list(d), 0) for d in dirs], 0))
+        Ps.append(point)
+        Ds.append(dirs)
         depths.append(depth)
         Ws.append(w)
         mus.append(mu)
@@ -327,12 +337,22 @@ def narrowphase(model: Model, fk, plan) -> Optional[PackedContacts]:
 
     if not Ps:
         return None
+    return ScalarContacts(Ps, Ds, depths, Ws, mus)
+
+
+def narrowphase(model: Model, fk, plan) -> Optional[PackedContacts]:
+    """Packed-array narrowphase (XLA path): stacks `narrowphase_scalar`."""
+    sc = narrowphase_scalar(model, fk, plan)
+    if sc is None:
+        return None
     return PackedContacts(
-        P=jnp.stack(Ps, 0),
-        D=jnp.stack(Ds, 0),
-        depth=jnp.stack(depths, 0),
-        W=np.stack(Ws, 0),
-        mu=np.array(mus, dtype=np.float32),
+        P=jnp.stack([jnp.stack(list(p), 0) for p in sc.P], 0),
+        D=jnp.stack(
+            [jnp.stack([jnp.stack(list(d), 0) for d in dirs], 0) for dirs in sc.D], 0
+        ),
+        depth=jnp.stack(sc.depth, 0),
+        W=np.stack(sc.W, 0),
+        mu=np.array(sc.mu, dtype=np.float32),
     )
 
 
@@ -494,7 +514,7 @@ def solve_packed(
 
         return v, vp, lam, lam_p, lam_l
 
-    lam0 = jnp.zeros((pc.depth.shape[0], 3, B), v.dtype) if pc is not None else jnp.zeros((0, 3, B), v.dtype)
+    lam0 = jnp.zeros((pc.depth.shape[0], 3, B), v.dtype) if pc is not None else jnp.zeros((0, 3, B), v.dtype)  # noqa: E501  (see solve_scalar below for the fully-unrolled variant)
     lamp0 = jnp.zeros((pc.depth.shape[0], B), v.dtype) if pc is not None else jnp.zeros((0, B), v.dtype)
     laml0 = jnp.zeros((lim.dof.shape[0], B), v.dtype) if lim is not None else jnp.zeros((0, B), v.dtype)
 
@@ -502,4 +522,131 @@ def solve_packed(
         0, cfg.iterations, iteration, (v, vp, lam0, lamp0, laml0)
     )
     lam_n = lam[:, 0] if pc is not None else None
+    return v, vp, lam_n
+
+
+# ---------------------------------------------------------------------------
+# fully-unrolled scalar PGS (the Pallas-kernel path): identical math to
+# solve_packed, but rows/iterations unroll at trace time into straight-line
+# vector code — no loops, no dynamic slicing (Mosaic-friendly).
+# ---------------------------------------------------------------------------
+
+
+def scalar_jacobians(model: Model, fk, sc: ScalarContacts):
+    """Per-row (Jn, Jt1, Jt2) as nv-lists with 0.0 structural zeros."""
+    out = []
+    for P, dirs, w in zip(sc.P, sc.D, sc.W):
+        row = []
+        for direction in dirs:
+            J = [0.0] * model.nv
+            for d in range(model.nv):
+                wd = float(w[d])
+                if wd == 0.0:
+                    continue
+                ang, lin = fk.S[d]
+                vel = sm.v3_add(lin, sm.v3_cross(ang, P))
+                J[d] = wd * sm.v3_dot(direction, vel)
+            row.append(J)
+        out.append(tuple(row))
+    return out
+
+
+def _sdot(J, v):
+    s = None
+    for a, b in zip(J, v):
+        if isinstance(a, float) and a == 0.0:
+            continue
+        if isinstance(b, float) and b == 0.0:
+            continue
+        t = a * b
+        s = t if s is None else s + t
+    return s
+
+
+def _sapply(v, w, dlam):
+    for d in range(len(v)):
+        wd = w[d]
+        if isinstance(wd, float) and wd == 0.0:
+            continue
+        v[d] = v[d] + wd * dlam
+
+
+def solve_scalar(
+    model: Model,
+    cfg: SolverConfig,
+    dt: float,
+    sc: Optional[ScalarContacts],
+    J,          # from scalar_jacobians, or None
+    w_rows,     # per row: (wn, wt1, wt2) nv-lists = M⁻¹Jᵀ, or None
+    lim: Optional[LimitPlan],
+    w_lim,      # per limit row: nv-list = M⁻¹ e_dof, or None
+    q: list,
+    v: list,
+):
+    """Unrolled PGS; returns (v', v_pseudo, contact_lambda_n list)."""
+    nv = model.nv
+    like = v[0]
+    zero = jnp.zeros_like(like)
+    v = list(v)
+    vp = [zero] * nv
+
+    sol = []
+    if sc is not None:
+        for r in range(len(sc.P)):
+            Jn, Jt1, Jt2 = J[r]
+            wn, wt1, wt2 = w_rows[r]
+            dn = 1.0 / (_sdot(Jn, wn) + cfg.regularization)
+            dt1 = 1.0 / (_sdot(Jt1, wt1) + cfg.regularization)
+            dt2 = 1.0 / (_sdot(Jt2, wt2) + cfg.regularization)
+            vn_pre = _sdot(Jn, v)
+            bounce = jnp.where(
+                vn_pre < -cfg.rest_threshold, -cfg.restitution * vn_pre, zero
+            )
+            depth = sc.depth[r]
+            b_vel = jnp.where(depth > 0.0, bounce, depth / dt)
+            b_pos = (cfg.erp / dt) * (depth - cfg.slop)
+            sol.append((Jn, Jt1, Jt2, wn, wt1, wt2, dn, dt1, dt2, b_vel, b_pos, sc.mu[r]))
+
+    lsol = []
+    if lim is not None:
+        for i in range(lim.dof.shape[0]):
+            d = int(lim.dof[i])
+            w = w_lim[i]
+            dinv = 1.0 / (w[d] + cfg.regularization)
+            sign = float(lim.sign[i])
+            viol = sign * (float(lim.bound[i]) - q[int(lim.qadr[i])])
+            b = (cfg.limit_erp / dt) * viol
+            lsol.append((d, sign, w, dinv, b))
+
+    lam_n = [zero] * len(sol)
+    lam_t1 = [zero] * len(sol)
+    lam_t2 = [zero] * len(sol)
+    lam_p = [zero] * len(sol)
+    lam_l = [zero] * len(lsol)
+
+    for _ in range(cfg.iterations):
+        for i, (Jn, Jt1, Jt2, wn, wt1, wt2, dn, dt1, dt2, b_vel, b_pos, mu) in enumerate(sol):
+            vn = _sdot(Jn, v)
+            new = jnp.maximum(lam_n[i] + (b_vel - vn) * dn, 0.0)
+            _sapply(v, wn, new - lam_n[i])
+            lam_n[i] = new
+            hi = mu * new
+            vt = _sdot(Jt1, v)
+            new = jnp.clip(lam_t1[i] - vt * dt1, -hi, hi)
+            _sapply(v, wt1, new - lam_t1[i])
+            lam_t1[i] = new
+            vt = _sdot(Jt2, v)
+            new = jnp.clip(lam_t2[i] - vt * dt2, -hi, hi)
+            _sapply(v, wt2, new - lam_t2[i])
+            lam_t2[i] = new
+            vpn = _sdot(Jn, vp)
+            new = jnp.maximum(lam_p[i] + (b_pos - vpn) * dn, 0.0)
+            _sapply(vp, wn, new - lam_p[i])
+            lam_p[i] = new
+        for i, (d, sign, w, dinv, b) in enumerate(lsol):
+            vd = v[d] if sign > 0 else -v[d]
+            new = jnp.maximum(lam_l[i] + (b - vd) * dinv, 0.0)
+            _sapply(v, w, sign * (new - lam_l[i]))
+            lam_l[i] = new
+
     return v, vp, lam_n

@@ -171,6 +171,69 @@ def make_substep(model: Model, cfg: PhysicsConfig):
     return substep, plan, R
 
 
+def make_substep_scalar(model: Model, cfg: PhysicsConfig):
+    """Fully-scalar substep over SoA lists — the Pallas-kernel body.
+
+    Identical math to `make_substep`, but every loop (Cholesky, constraint
+    rows, PGS iterations) unrolls at trace time into straight-line vector
+    code: inside a Pallas kernel each op is one VPU instruction on a
+    (8, 128) env tile, with no XLA fusion-recompute or loop-trip overhead.
+
+    substep(q_list, v_list, tau_list) -> (q', v', depths_list)
+    """
+    plan = ct.build_contact_plan(model, cfg.solver)
+    lim = ct.build_limit_plan(model)
+
+    def substep(q, v, tau):
+        q, v = list(q), list(v)
+        fk = dyn.forward_kinematics(model, q, v)
+        qdd, L, inv_diag = dyn.fwd_dynamics(model, fk, q, v, list(tau), cfg.gravity)
+        v2 = [
+            v[d] + cfg.timestep * qdd[d] if not _is0f(qdd[d]) else v[d]
+            for d in range(model.nv)
+        ]
+        sc = ct.narrowphase_scalar(model, fk, plan)
+        J = w_rows = w_lim = None
+        if sc is not None:
+            J = ct.scalar_jacobians(model, fk, sc)
+            w_rows = [
+                tuple(dyn.chol_solve(L, inv_diag, Jd) for Jd in row) for row in J
+            ]
+        if lim is not None:
+            w_lim = []
+            for i in range(lim.dof.shape[0]):
+                rhs = [0.0] * model.nv
+                rhs[int(lim.dof[i])] = 1.0
+                w_lim.append(dyn.chol_solve(L, inv_diag, rhs))
+        if sc is not None or lim is not None:
+            v3, vp, _ = ct.solve_scalar(
+                model, cfg.solver, cfg.timestep, sc, J, w_rows, lim, w_lim, q, v2
+            )
+        else:
+            v3, vp = v2, [0.0] * model.nv
+        v_pos = [
+            v3[d] + vp[d] if not _is0f(vp[d]) else v3[d] for d in range(model.nv)
+        ]
+        q2 = dyn.integrate(model, q, v_pos, cfg.timestep)
+        depths = list(sc.depth) if sc is not None else []
+        return q2, v3, depths
+
+    return substep, plan, (len(sc_rows(plan)))
+
+
+def sc_rows(plan):
+    floor_cands, pair_cands = plan
+    out = []
+    for c in floor_cands:
+        out.extend([c] * (4 if c.kind == "disk" else 1))
+    out.extend(pair_cands)
+    return out
+
+
+def _is0f(x):
+    return isinstance(x, float) and x == 0.0
+
+
 def make_physics_step(model: Model, cfg: PhysicsConfig):
     """Control step: frame_skip substeps under lax.scan with held torques.
 
