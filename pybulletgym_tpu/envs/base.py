@@ -58,12 +58,18 @@ class EnvState(NamedTuple):
 class Task:
     """Per-env-family behavior: initial states, torque mapping, obs/reward.
 
-    Concrete tasks (locomotion, pendula, manipulation) implement:
-      model, physics: PhysicsConfig, obs_dim, act_dim, max_episode_steps,
-      initial_state(seed, env_id, epoch) -> (q, v, aux)
-      action_tau(action (act,B)) -> tau (nv, B)
-      output(q, v, depths, action, aux) -> (obs, reward, terminated,
-                                            new_aux, reward_components)
+    Concrete tasks (locomotion, pendula, manipulation) implement the
+    *scalar-core* hooks, which operate on SoA lists of per-env scalar
+    arrays of ANY shape — (B,) under the XLA path, (8, 128) env tiles
+    inside the Pallas kernel:
+
+      initial_state_scalar(seed, env_id, epoch) -> (q_list, v_list, aux)
+      action_tau_scalar(a_list) -> tau_list
+      output_scalar(q_list, v_list, depth_list, a_list, aux)
+          -> (obs_list, reward, terminated_bool, new_aux, reward_components)
+
+    The stacked-array wrappers below adapt them to the (rows, B) layout the
+    XLA env path uses.
     """
 
     model: Model
@@ -72,14 +78,41 @@ class Task:
     act_dim: int
     max_episode_steps: int
 
-    def initial_state(self, seed, env_id, epoch):
+    def initial_state_scalar(self, seed, env_id, epoch):
         raise NotImplementedError
+
+    def action_tau_scalar(self, a):
+        raise NotImplementedError
+
+    def output_scalar(self, q, v, depths, a, aux):
+        raise NotImplementedError
+
+    # ---- stacked-array adapters (XLA path) ----------------------------
+
+    def initial_state(self, seed, env_id, epoch):
+        q, v, aux = self.initial_state_scalar(seed, env_id, epoch)
+        return jnp.stack(list(q), 0), jnp.stack(list(v), 0), aux
 
     def action_tau(self, action):
-        raise NotImplementedError
+        tau = self.action_tau_scalar([action[i] for i in range(self.act_dim)])
+        B = action.shape[-1]
+        return jnp.stack(
+            [t if not _is0f(t) else jnp.zeros((B,), action.dtype) for t in tau], 0
+        )
 
     def output(self, q, v, depths, action, aux):
-        raise NotImplementedError
+        obs, reward, term, aux2, comps = self.output_scalar(
+            [q[i] for i in range(self.model.nq)],
+            [v[i] for i in range(self.model.nv)],
+            [depths[i] for i in range(depths.shape[0])],
+            [action[i] for i in range(self.act_dim)],
+            aux,
+        )
+        return jnp.stack(list(obs), 0), reward, term, aux2, comps
+
+
+def _is0f(x):
+    return isinstance(x, float) and x == 0.0
 
 
 def make_env(task: Task):
@@ -161,10 +194,23 @@ class BatchedEnv:
     internally everything is batch-trailing (see ops.step docstring).
     """
 
-    def __init__(self, task: Task, batch_size: int, jit: bool = True):
+    def __init__(
+        self, task: Task, batch_size: int, jit: bool = True,
+        backend: Optional[str] = None,
+    ):
         self.task = task
         self.batch_size = batch_size
         self._reset, self._step = make_env(task)
+        if backend is None:
+            # The Pallas engine is the TPU fast path (see ops.pallas_engine);
+            # the XLA path serves CPU testing and odd batch sizes.
+            on_accel = jax.default_backend() not in ("cpu",)
+            backend = "pallas" if (on_accel and batch_size % 1024 == 0) else "xla"
+        self.backend = backend
+        if backend == "pallas":
+            from pybulletgym_tpu.ops.pallas_engine import make_pallas_env_step
+
+            self._step = make_pallas_env_step(task)
         if jit:
             self._reset = jax.jit(self._reset)
             self._step = jax.jit(self._step)

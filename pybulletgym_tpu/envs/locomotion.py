@@ -117,32 +117,28 @@ class WalkerTask(Task):
         fk = dyn.forward_kinematics(m, q, v, with_inertia=False)
         return float(fk.com[self.base_body][2])
 
-    def initial_state(self, seed, env_id, epoch):
+    def initial_state_scalar(self, seed, env_id, epoch):
         m = self.model
-        B = seed.shape[0]
-        q = jnp.tile(jnp.asarray(m.qpos0, jnp.float32)[:, None], (1, B))
+        like = (seed * 0).astype(jnp.int32).astype(jnp.float32)
+        q = [jnp.full_like(like, float(x)) for x in m.qpos0]
         for i, qa in enumerate(self.act_qadr):
             u = rand.uniform(seed, i, env_id, epoch, -0.1, 0.1)
-            q = q.at[qa].set(m.qpos0[qa] + u)
-        v = jnp.zeros((m.nv, B), jnp.float32)
-        tx = jnp.full((B,), self.walk_target[0], jnp.float32)
-        ty = jnp.full((B,), self.walk_target[1], jnp.float32)
+            q[qa] = float(m.qpos0[qa]) + u
+        v = [jnp.zeros_like(like) for _ in range(m.nv)]
+        tx = jnp.full_like(like, self.walk_target[0])
+        ty = jnp.full_like(like, self.walk_target[1])
         aux = {
             # exact reset potential (reference: reset() ends with
             # calc_potential() [ref: env_bases.py · BaseBulletEnv.reset])
             "potential": self._potential(q, v, tx, ty),
-            "initial_z": jnp.full((B,), self.initial_z, jnp.float32),
+            "initial_z": jnp.full_like(like, self.initial_z),
             "target_x": tx,
             "target_y": ty,
         }
         return q, v, aux
 
     def _potential(self, q, v, tx, ty):
-        m = self.model
-        fk = dyn.forward_kinematics(
-            m, [q[i] for i in range(m.nq)], [v[i] for i in range(m.nv)],
-            with_inertia=False,
-        )
+        fk = dyn.forward_kinematics(self.model, q, v, with_inertia=False)
         bx, by = self._mean_parts_xy(fk)
         dist = jnp.sqrt((tx - bx) ** 2 + (ty - by) ** 2)
         return -dist / self.physics.control_dt
@@ -155,31 +151,36 @@ class WalkerTask(Task):
             ys.append(p[1])
         return sum(xs) / len(xs), sum(ys) / len(ys)
 
-    def action_tau(self, a):
-        B = a.shape[-1]
-        tau = jnp.zeros((self.model.nv, B), a.dtype)
-        return tau.at[self.act_dofs].set(jnp.asarray(self.gains) * a)
+    def action_tau_scalar(self, a):
+        tau = [0.0] * self.model.nv
+        for i, d in enumerate(self.act_dofs):
+            tau[int(d)] = float(self.gains[i, 0]) * a[i]
+        return tau
 
     # ------------------------------------------------------------------
-    def output(self, q, v, depths, a, aux):
+    def output_scalar(self, q, v, depths, a, aux):
         m = self.model
-        q_s = [q[i] for i in range(m.nq)]
-        v_s = [v[i] for i in range(m.nv)]
-        fk = dyn.forward_kinematics(m, q_s, v_s, with_inertia=False)
+        fk = dyn.forward_kinematics(m, q, v, with_inertia=False)
+        like = q[0]
 
-        # ---- joint observations -------------------------------------
-        jp = q[self.act_qadr]                              # (n, B)
-        jv = v[self.act_dofs]
-        rel = (jp - jnp.asarray(self.j_mid)) / jnp.asarray(self.j_halfrange)
-        jspeed = 0.1 * jv
-        joints_at_limit = jnp.sum((jnp.abs(rel) > 0.99).astype(q.dtype), axis=0)
+        # ---- joint observations [ref: Joint.current_relative_position] --
+        rel, jspeed = [], []
+        for i in range(self.act_dim):
+            rel.append(
+                (q[int(self.act_qadr[i])] - float(self.j_mid[i, 0]))
+                / float(self.j_halfrange[i, 0])
+            )
+            jspeed.append(0.1 * v[int(self.act_dofs[i])])
+        joints_at_limit = sum(
+            (jnp.abs(r) > 0.99).astype(jnp.float32) for r in rel
+        )
 
         # ---- base pose & velocity ------------------------------------
         Rb = fk.R[self.base_body]
         com = fk.com[self.base_body]
-        roll = jnp.arctan2(Rb[7], Rb[8])
-        pitch = jnp.arctan2(-Rb[6], jnp.sqrt(Rb[7] ** 2 + Rb[8] ** 2))
-        yaw = jnp.arctan2(Rb[3], Rb[0])
+        roll = sm.atan2(Rb[7], Rb[8])
+        pitch = sm.atan2(-Rb[6], jnp.sqrt(Rb[7] ** 2 + Rb[8] ** 2))
+        yaw = sm.atan2(Rb[3], Rb[0])
         ang, lin_o = fk.vel[self.base_body]
         vel = sm.v3_add(lin_o, sm.v3_cross(ang, com))      # base COM velocity
 
@@ -189,7 +190,7 @@ class WalkerTask(Task):
 
         tx, ty = aux["target_x"], aux["target_y"]
         dx, dy = tx - bx, ty - by
-        angle_to_target = jnp.arctan2(dy, dx) - yaw
+        angle_to_target = sm.atan2(dy, dx) - yaw
         dist = jnp.sqrt(dx * dx + dy * dy)
 
         cy, sy = jnp.cos(-yaw), jnp.sin(-yaw)
@@ -198,36 +199,37 @@ class WalkerTask(Task):
         vz = vel[2]
 
         # ---- feet contact flags (getContactPoints replacement) --------
-        feet = [
-            jnp.max(
-                jnp.stack([(depths[r] > 0.0) for r in rows], 0).astype(q.dtype), axis=0
-            )
-            for rows in self.foot_rows
-        ]
+        feet = []
+        for rows in self.foot_rows:
+            flag = (depths[rows[0]] > 0.0)
+            for r in rows[1:]:
+                flag = flag | (depths[r] > 0.0)
+            feet.append(flag.astype(jnp.float32))
 
-        more = jnp.stack(
-            [
-                bz - aux["initial_z"],
-                jnp.sin(angle_to_target),
-                jnp.cos(angle_to_target),
-                0.3 * vx,
-                0.3 * vy,
-                0.3 * vz,
-                roll,
-                pitch,
-            ],
-            0,
-        )
-        jobs = jnp.stack([rel, jspeed], axis=1).reshape(2 * self.act_dim, -1)
-        obs = jnp.clip(jnp.concatenate([more, jobs, jnp.stack(feet, 0)], 0), -5.0, 5.0)
+        more = [
+            bz - aux["initial_z"],
+            jnp.sin(angle_to_target),
+            jnp.cos(angle_to_target),
+            0.3 * vx,
+            0.3 * vy,
+            0.3 * vz,
+            roll,
+            pitch,
+        ]
+        jobs = []
+        for r, s in zip(rel, jspeed):
+            jobs += [r, s]
+        obs = [jnp.clip(x, -5.0, 5.0) for x in (more + jobs + feet)]
 
         # ---- rewards [ref: walker_base_env.py · step] ------------------
         alive = self._alive(bz, pitch, feet)
         potential = -dist / self.physics.control_dt
         progress = potential - aux["potential"]
+        n = float(self.act_dim)
         electricity = self.spec.cost_scale * (
-            self.electricity_cost * jnp.mean(jnp.abs(a * jspeed), axis=0)
-            + self.stall_torque_cost * jnp.mean(a * a, axis=0)
+            self.electricity_cost
+            * sum(jnp.abs(ai * si) for ai, si in zip(a, jspeed)) / n
+            + self.stall_torque_cost * sum(ai * ai for ai in a) / n
         )
         limit_cost = self.joints_at_limit_cost * joints_at_limit
         feet_collision = jnp.zeros_like(alive)  # stadium ground only

@@ -50,27 +50,26 @@ class InvertedPendulumTask(Task):
         self.max_episode_steps = 1000
         self.torque_gain = 100.0
 
-    def initial_state(self, seed, env_id, epoch):
+    def initial_state_scalar(self, seed, env_id, epoch):
         m = self.model
-        B = seed.shape[0]
-        q = jnp.tile(jnp.asarray(m.qpos0, jnp.float32)[:, None], (1, B))
+        like = (seed * 0).astype(jnp.int32).astype(jnp.float32)
+        q = [jnp.full_like(like, float(x)) for x in m.qpos0]
         u = rand.uniform(seed, 0, env_id, epoch, -0.1, 0.1)
-        theta0 = (np.pi if self.swingup else 0.0) + u
-        q = q.at[self.hinge_qadr].set(theta0)
-        v = jnp.zeros((m.nv, B), jnp.float32)
+        q[self.hinge_qadr] = (np.pi if self.swingup else 0.0) + u
+        v = [jnp.zeros_like(like) for _ in range(m.nv)]
         return q, v, {}
 
-    def action_tau(self, a):
-        B = a.shape[-1]
-        tau = jnp.zeros((self.model.nv, B), a.dtype)
-        return tau.at[self.slider_dof].set(self.torque_gain * a[0])
+    def action_tau_scalar(self, a):
+        tau = [0.0] * self.model.nv
+        tau[self.slider_dof] = self.torque_gain * a[0]
+        return tau
 
-    def output(self, q, v, depths, a, aux):
+    def output_scalar(self, q, v, depths, a, aux):
         theta = q[self.hinge_qadr]
         theta_dot = v[self.hinge_dof]
         x = q[self.slider_qadr]
         vx = v[self.slider_dof]
-        obs = jnp.stack([x, vx, jnp.cos(theta), jnp.sin(theta), theta_dot], 0)
+        obs = [x, vx, jnp.cos(theta), jnp.sin(theta), theta_dot]
         if self.swingup:
             reward = jnp.cos(theta)
             terminated = jnp.zeros_like(reward, bool)
@@ -103,35 +102,32 @@ class InvertedDoublePendulumTask(Task):
         self.max_episode_steps = 1000
         self.torque_gain = 200.0
 
-    def initial_state(self, seed, env_id, epoch):
+    def initial_state_scalar(self, seed, env_id, epoch):
         m = self.model
-        B = seed.shape[0]
-        q = jnp.tile(jnp.asarray(m.qpos0, jnp.float32)[:, None], (1, B))
-        q = q.at[self.j1_qadr].set(rand.uniform(seed, 0, env_id, epoch, -0.1, 0.1))
-        q = q.at[self.j2_qadr].set(rand.uniform(seed, 1, env_id, epoch, -0.1, 0.1))
-        v = jnp.zeros((m.nv, B), jnp.float32)
+        like = (seed * 0).astype(jnp.int32).astype(jnp.float32)
+        q = [jnp.full_like(like, float(x)) for x in m.qpos0]
+        q[self.j1_qadr] = rand.uniform(seed, 0, env_id, epoch, -0.1, 0.1)
+        q[self.j2_qadr] = rand.uniform(seed, 1, env_id, epoch, -0.1, 0.1)
+        v = [jnp.zeros_like(like) for _ in range(m.nv)]
         return q, v, {}
 
-    def action_tau(self, a):
-        tau = jnp.zeros((self.model.nv, a.shape[-1]), a.dtype)
-        return tau.at[self.slider_dof].set(self.torque_gain * a[0])
+    def action_tau_scalar(self, a):
+        tau = [0.0] * self.model.nv
+        tau[self.slider_dof] = self.torque_gain * a[0]
+        return tau
 
-    def output(self, q, v, depths, a, aux):
+    def output_scalar(self, q, v, depths, a, aux):
         m = self.model
-        q_s = [q[i] for i in range(m.nq)]
-        v_s = [v[i] for i in range(m.nv)]
-        fk = dyn.forward_kinematics(m, q_s, v_s, with_inertia=False)
+        fk = dyn.forward_kinematics(m, q, v, with_inertia=False)
         com2 = fk.com[self.pole2]
         pos_x, pos_y = com2[0], com2[2]  # reference naming: y is height
 
         theta, theta_dot = q[self.j1_qadr], v[self.j1_dof]
         gamma, gamma_dot = q[self.j2_qadr], v[self.j2_dof]
         x, vx = q[self.slider_qadr], v[self.slider_dof]
-        obs = jnp.stack(
-            [x, vx, pos_x,
-             jnp.cos(theta), jnp.sin(theta), theta_dot,
-             jnp.cos(gamma), jnp.sin(gamma), gamma_dot], 0,
-        )
+        obs = [x, vx, pos_x,
+               jnp.cos(theta), jnp.sin(theta), theta_dot,
+               jnp.cos(gamma), jnp.sin(gamma), gamma_dot]
         dist_penalty = 0.01 * pos_x**2 + (pos_y + 0.3 - 2.0) ** 2
         vel_penalty = 1e-3 * theta_dot**2 + 5e-3 * gamma_dot**2
         alive = 10.0 * jnp.ones_like(x)

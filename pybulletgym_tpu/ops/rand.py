@@ -18,7 +18,7 @@ import jax.numpy as jnp
 
 _ROT_A = (13, 15, 26, 6)
 _ROT_B = (17, 29, 16, 24)
-_PARITY = jnp.uint32(0x1BD11BDA)
+_PARITY = 0x1BD11BDA  # plain int: keeps kernels free of captured constants
 
 
 def _rotl(x, d):
@@ -31,7 +31,7 @@ def threefry2x32(k0, k1, c0, c1):
     k1 = jnp.asarray(k1, jnp.uint32)
     x0 = jnp.asarray(c0, jnp.uint32) + k0
     x1 = jnp.asarray(c1, jnp.uint32) + k1
-    k2 = k0 ^ k1 ^ _PARITY
+    k2 = k0 ^ k1 ^ jnp.uint32(_PARITY)
     ks = (k0, k1, k2)
     for block in range(5):
         rots = _ROT_A if block % 2 == 0 else _ROT_B
@@ -55,7 +55,8 @@ def _bits(seed, stream, env_id, epoch):
 def uniform(seed, stream, env_id, epoch, lo=0.0, hi=1.0, dtype=jnp.float32):
     """U[lo, hi) — 24-bit mantissa uniforms from one threefry call."""
     b = _bits(seed, stream, env_id, epoch)
-    u = (b >> jnp.uint32(8)).astype(dtype) * dtype(2**-24)
+    # 24-bit value fits int32; Mosaic lacks a direct u32->f32 cast
+    u = (b >> jnp.uint32(8)).astype(jnp.int32).astype(dtype) * dtype(2**-24)
     return lo + (hi - lo) * u
 
 

@@ -171,6 +171,58 @@ def quat_to_rpy(q):
 
 
 # ---------------------------------------------------------------------------
+# Mosaic-safe transcendentals: Pallas TPU has no atan2/arcsin lowering, so we
+# provide branchless polynomial versions (Cephes atanf scheme, f32-accurate
+# to ~1e-7) used by the observation code.
+# ---------------------------------------------------------------------------
+
+_PI = 3.141592653589793
+_PI_2 = 1.5707963267948966
+_PI_4 = 0.7853981633974483
+
+
+def atan(x):
+    """Branchless single-precision arctangent (Cephes atanf ranges)."""
+    ax = jnp.abs(x)
+    # range reduction
+    big = ax > 2.414213562373095    # tan(3π/8)
+    mid = ax > 0.4142135623730950   # tan(π/8)
+    z = jnp.where(big, -1.0 / jnp.where(ax > 1e-30, ax, 1e-30),
+                  jnp.where(mid, (ax - 1.0) / (ax + 1.0), ax))
+    off = jnp.where(big, _PI_2, jnp.where(mid, _PI_4, 0.0))
+    zz = z * z
+    y = (
+        ((8.05374449538e-2 * zz - 1.38776856032e-1) * zz + 1.99777106478e-1) * zz
+        - 3.33329491539e-1
+    ) * zz * z + z
+    return jnp.sign(x) * (off + y)
+
+
+def atan2(y, x):
+    """Branchless atan2 (matches jnp.arctan2 to ~1e-6 in f32)."""
+    safe_x = jnp.where(jnp.abs(x) > 1e-30, x, 1e-30)
+    base = atan(y / safe_x)
+    shift = jnp.where(
+        x < 0.0, jnp.where(y >= 0.0, _PI, -_PI), 0.0
+    )
+    out = base + shift
+    # x == 0 exactly: ±π/2 by the sign of y
+    tiny_x = jnp.abs(x) <= 1e-30
+    return jnp.where(tiny_x, jnp.where(y >= 0.0, _PI_2, -_PI_2), out)
+
+
+def asin(x):
+    """arcsin via atan2 (clamped)."""
+    xc = jnp.clip(x, -1.0, 1.0)
+    return atan2(xc, jnp.sqrt(jnp.maximum(1.0 - xc * xc, 0.0)))
+
+
+def isfinite(x):
+    """Mosaic-safe finiteness check (no isfinite primitive)."""
+    return (x == x) & (jnp.abs(x) < 3.0e38)
+
+
+# ---------------------------------------------------------------------------
 # Mat3 — 9-tuples, row-major (m00, m01, m02, m10, ..., m22)
 # ---------------------------------------------------------------------------
 
