@@ -1,0 +1,75 @@
+"""Roll out a saved policy — the analog of the reference's
+`enjoy_TF_<Env>_v0_2017may.py` demos [ref: pybulletgym/examples/
+roboschool-weights — SmallReactivePolicy]: load frozen weights, run the
+deterministic policy (tanh MLP mean action), report episode returns.
+
+Usage:
+    python examples/enjoy.py HopperPyBulletEnv-v0 [--episodes 5] [--render out.npy]
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+class SmallReactivePolicy:
+    """Frozen feed-forward policy, mirroring the reference demo class
+    (obs -> tanh hidden layers -> mean action)."""
+
+    def __init__(self, path):
+        d = np.load(path)
+        n = int(d["n_layers"])
+        self.weights = [d[f"w{i}"] for i in range(n)]
+        self.biases = [d[f"b{i}"] for i in range(n)]
+
+    def act(self, obs):
+        h = obs
+        for i, (w, b) in enumerate(zip(self.weights, self.biases)):
+            h = h @ w + b
+            if i < len(self.weights) - 1:
+                h = np.tanh(h)
+        return np.clip(h, -1.0, 1.0)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("env_id")
+    ap.add_argument("--episodes", type=int, default=5)
+    ap.add_argument("--weights", default=None)
+    ap.add_argument("--render", default=None,
+                    help="save frames of the first episode to this .npy")
+    args = ap.parse_args()
+
+    import pybulletgym_tpu as pg
+
+    path = args.weights or os.path.join(
+        os.path.dirname(__file__), "weights", args.env_id + ".npz"
+    )
+    pi = SmallReactivePolicy(path)
+    env = pg.make(args.env_id)
+
+    frames = []
+    for ep in range(args.episodes):
+        obs, _ = env.reset(seed=ep)
+        total, steps = 0.0, 0
+        while True:
+            obs, r, term, trunc, _ = env.step(pi.act(obs))
+            total += r
+            steps += 1
+            if args.render and ep == 0:
+                frames.append(env.render())
+            if term or trunc:
+                break
+        print(f"episode {ep}: return {total:+.1f} in {steps} steps")
+
+    if args.render and frames:
+        np.save(args.render, np.stack(frames))
+        print(f"saved {len(frames)} frames to {args.render}")
+
+
+if __name__ == "__main__":
+    main()

@@ -24,4 +24,6 @@ batch axis over a device mesh without code changes.
 
 __version__ = "0.1.0"
 
-from pybulletgym_tpu.api.registry import make, make_batched, registry  # noqa: F401
+from pybulletgym_tpu.api.registry import (  # noqa: F401
+    make, make_batched, make_task, registry,
+)

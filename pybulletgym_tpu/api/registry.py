@@ -110,6 +110,29 @@ def _register_all() -> None:
         "HumanoidPyBulletEnv-v0",
         lambda: loco.WalkerTask(loco.HUMANOID), 1000, None,
     )
+    register(
+        "HumanoidFlagrunPyBulletEnv-v0",
+        loco.HumanoidFlagrunTask, 1000, 2000.0,
+    )
+    register(
+        "HumanoidFlagrunHarderPyBulletEnv-v0",
+        loco.HumanoidFlagrunHarderTask, 1000, None,
+    )
+    from pybulletgym_tpu.envs import manipulation as manip
+
+    register("ReacherPyBulletEnv-v0", manip.ReacherTask, 150, 18.0)
+
+    # MuJoCo-parity family [ref: pybulletgym/envs/mujoco/** — SURVEY §2.4]
+    from pybulletgym_tpu.envs import mujoco_family as mjf
+
+    register("InvertedPendulumMuJoCoEnv-v0",
+             mjf.InvertedPendulumMuJoCoTask, 1000, 950.0)
+    register("InvertedDoublePendulumMuJoCoEnv-v0",
+             mjf.InvertedDoublePendulumMuJoCoTask, 1000, 9100.0)
+    register("HopperMuJoCoEnv-v0", mjf.HopperMuJoCoTask, 1000, 3800.0)
+    register("Walker2DMuJoCoEnv-v0", mjf.Walker2DMuJoCoTask, 1000, None)
+    register("HalfCheetahMuJoCoEnv-v0", mjf.HalfCheetahMuJoCoTask, 1000, 4800.0)
+    register("AntMuJoCoEnv-v0", mjf.AntMuJoCoTask, 1000, 6000.0)
 
 
 _register_all()

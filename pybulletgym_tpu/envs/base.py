@@ -65,8 +65,12 @@ class Task:
 
       initial_state_scalar(seed, env_id, epoch) -> (q_list, v_list, aux)
       action_tau_scalar(a_list) -> tau_list
-      output_scalar(q_list, v_list, depth_list, a_list, aux)
+      output_scalar(q_list, v_list, depth_list, a_list, aux, ids=None)
           -> (obs_list, reward, terminated_bool, new_aux, reward_components)
+
+    `ids` is the per-env RNG identity (seed, env_id, epoch) for tasks that
+    draw randomness *during* an episode (flag repositioning, cube throws
+    [ref: HumanoidFlagrun.flag_reposition]); pure tasks ignore it.
 
     The stacked-array wrappers below adapt them to the (rows, B) layout the
     XLA env path uses.
@@ -84,8 +88,14 @@ class Task:
     def action_tau_scalar(self, a):
         raise NotImplementedError
 
-    def output_scalar(self, q, v, depths, a, aux):
+    def output_scalar(self, q, v, depths, a, aux, ids=None):
         raise NotImplementedError
+
+    def pre_physics_scalar(self, q, v, aux, ids=None):
+        """Optional pre-step state edit (e.g. FlagrunHarder's hurled cube
+        [ref: HumanoidFlagrunHarder.alive_bonus — aggressive_cube reset]).
+        Returns (q, v, aux); default is identity."""
+        return q, v, aux
 
     # ---- stacked-array adapters (XLA path) ----------------------------
 
@@ -100,13 +110,21 @@ class Task:
             [t if not _is0f(t) else jnp.zeros((B,), action.dtype) for t in tau], 0
         )
 
-    def output(self, q, v, depths, action, aux):
+    def pre_physics(self, q, v, aux, ids):
+        q2, v2, aux2 = self.pre_physics_scalar(
+            [q[i] for i in range(self.model.nq)],
+            [v[i] for i in range(self.model.nv)],
+            aux, ids,
+        )
+        return jnp.stack(list(q2), 0), jnp.stack(list(v2), 0), aux2
+
+    def output(self, q, v, depths, action, aux, ids=None):
         obs, reward, term, aux2, comps = self.output_scalar(
             [q[i] for i in range(self.model.nq)],
             [v[i] for i in range(self.model.nv)],
             [depths[i] for i in range(depths.shape[0])],
             [action[i] for i in range(self.act_dim)],
-            aux,
+            aux, ids,
         )
         return jnp.stack(list(obs), 0), reward, term, aux2, comps
 
@@ -127,12 +145,16 @@ def make_env(task: Task):
         q, v, aux = task.initial_state(seed, env_id, epoch)
         return q, v, aux
 
+    has_pre = type(task).pre_physics_scalar is not Task.pre_physics_scalar
+
     def reset_fn(seed, env_id, epoch):
         q, v, aux = _fresh(seed, env_id, epoch)
         B = q.shape[-1]
         zero_depths = jnp.zeros((n_rows, B), q.dtype)
         zero_act = jnp.zeros((task.act_dim, B), q.dtype)
-        obs, _, _, aux, comps = task.output(q, v, zero_depths, zero_act, aux)
+        obs, _, _, aux, comps = task.output(
+            q, v, zero_depths, zero_act, aux, (seed, env_id, epoch)
+        )
         zb = jnp.zeros((B,), q.dtype)
         return EnvState(
             q=q, v=v, obs=obs, reward=zb,
@@ -159,10 +181,15 @@ def make_env(task: Task):
         step_count = jnp.where(need, 0, state.step_count)
 
         # ---- physics + outputs ----------------------------------------
+        ids = (state.seed, state.env_id, epoch)
+        if has_pre:
+            q, v, aux = task.pre_physics(q, v, aux, ids)
         a = jnp.clip(action, -1.0, 1.0)
         tau = task.action_tau(a)
         q2, v2, depths = phys_step(q, v, tau)
-        obs, reward, terminated, aux2, comps = task.output(q2, v2, depths, a, aux)
+        obs, reward, terminated, aux2, comps = task.output(
+            q2, v2, depths, a, aux, ids
+        )
 
         # ---- NaN guard [ref: walker_base_env.py · step isfinite check] --
         bad = ~(
@@ -208,8 +235,13 @@ class BatchedEnv:
             backend = "pallas" if (on_accel and batch_size % 1024 == 0) else "xla"
         self.backend = backend
         if backend == "pallas":
-            from pybulletgym_tpu.ops.pallas_engine import make_pallas_env_step
+            from pybulletgym_tpu.ops.pallas_engine import TILE, make_pallas_env_step
 
+            if batch_size % TILE != 0:
+                raise ValueError(
+                    f"pallas backend needs batch_size % {TILE} == 0, got "
+                    f"{batch_size}; use backend='xla' for odd sizes"
+                )
             self._step = make_pallas_env_step(task)
         if jit:
             self._reset = jax.jit(self._reset)
@@ -233,7 +265,11 @@ class BatchedEnv:
 
     def step(self, state: EnvState, action) -> EnvState:
         """action: (B, act_dim) batch-leading (public convention)."""
-        return self._step(state, jnp.asarray(action).T)
+        action = jnp.asarray(action)
+        expect = (self.batch_size, self.task.act_dim)
+        if action.shape != expect:
+            raise ValueError(f"action shape {action.shape} != {expect}")
+        return self._step(state, action.T)
 
     @staticmethod
     def observations(state: EnvState):

@@ -50,6 +50,9 @@ class WalkerSpec:
     cost_scale: float = 1.0             # Humanoid: 4.25
     max_episode_steps: int = 1000
     self_collision: Tuple[Tuple[str, str], ...] = ()
+    # bodies excluded from the reference `parts` mean (non-robot bodies,
+    # e.g. the FlagrunHarder cube lives in a separate Bullet body there)
+    exclude_parts: Tuple[str, ...] = ()
 
 
 class WalkerTask(Task):
@@ -104,7 +107,7 @@ class WalkerTask(Task):
         self.part_frames = tuple(
             (host, np.asarray(pos), np.asarray(quat))
             for name, (host, pos, quat) in m.frames.items()
-            if host >= 0
+            if host >= 0 and name not in spec.exclude_parts
         )
         self.initial_z = self._initial_z()
         self.walk_target = (1e3, 0.0)
@@ -158,7 +161,7 @@ class WalkerTask(Task):
         return tau
 
     # ------------------------------------------------------------------
-    def output_scalar(self, q, v, depths, a, aux):
+    def output_scalar(self, q, v, depths, a, aux, ids=None):
         m = self.model
         fk = dyn.forward_kinematics(m, q, v, with_inertia=False)
         like = q[0]
@@ -189,6 +192,12 @@ class WalkerTask(Task):
         bz = com[2]
 
         tx, ty = aux["target_x"], aux["target_y"]
+        dx, dy = tx - bx, ty - by
+        dist0 = jnp.sqrt(dx * dx + dy * dy)
+        # flag retargeting hook (identity for plain walkers)
+        # [ref: HumanoidFlagrun.calc_state — flag_reposition when
+        #  walk_target_dist < 1 or flag_timeout expires]
+        tx, ty, aux = self._retarget(bx, by, dist0, aux, ids)
         dx, dy = tx - bx, ty - by
         angle_to_target = sm.atan2(dy, dx) - yaw
         dist = jnp.sqrt(dx * dx + dy * dy)
@@ -222,7 +231,7 @@ class WalkerTask(Task):
         obs = [jnp.clip(x, -5.0, 5.0) for x in (more + jobs + feet)]
 
         # ---- rewards [ref: walker_base_env.py · step] ------------------
-        alive = self._alive(bz, pitch, feet)
+        alive, aux = self._alive_aux(bz, pitch, feet, aux)
         potential = -dist / self.physics.control_dt
         progress = potential - aux["potential"]
         n = float(self.act_dim)
@@ -238,6 +247,8 @@ class WalkerTask(Task):
 
         new_aux = dict(aux)
         new_aux["potential"] = potential
+        new_aux["target_x"] = tx
+        new_aux["target_y"] = ty
         comps = {
             "alive": alive,
             "progress": progress,
@@ -246,6 +257,14 @@ class WalkerTask(Task):
             "feet_collision": feet_collision,
         }
         return obs, reward, terminated, new_aux, comps
+
+    def _retarget(self, bx, by, dist, aux, ids):
+        """Walk-target selection hook; plain walkers keep (1000, 0)."""
+        return aux["target_x"], aux["target_y"], aux
+
+    def _alive_aux(self, z, pitch, feet, aux):
+        """Alive-bonus hook; stateful variants (FlagrunHarder) override."""
+        return self._alive(z, pitch, feet), aux
 
     def _alive(self, z, pitch, feet):
         """alive_bonus(z, pitch) [ref: per-robot classes, SURVEY §2.6]."""
@@ -271,6 +290,7 @@ def _qadr(model: Model, v_adr: int) -> int:
         if b.v_adr == v_adr:
             return b.q_adr
     raise ValueError(v_adr)
+
 
 
 # ---------------------------------------------------------------------------
@@ -332,4 +352,163 @@ HUMANOID = WalkerSpec(
         "right_shoulder1": 75.0, "right_shoulder2": 75.0, "right_elbow": 75.0,
         "left_shoulder1": 75.0, "left_shoulder2": 75.0, "left_elbow": 75.0,
     },
+)
+
+
+# ---------------------------------------------------------------------------
+# Flagrun family [ref: …/robots/locomotors/humanoid_flagrun.py ·
+# HumanoidFlagrun / HumanoidFlagrunHarder]
+# ---------------------------------------------------------------------------
+
+# Roboschool stadium extents: halflen 105/4, halfwidth 50/4, compacted x0.5
+# [ref: scene_stadium.py · StadiumScene + HumanoidFlagrun.flag_reposition
+#  (more_compact = 0.5)].
+_FLAG_X = 0.5 * 105.0 / 4.0
+_FLAG_Y = 0.5 * 50.0 / 4.0
+_FLAG_TIMEOUT = 600.0 / 4.0   # 600 frames / frame_skip [ref: flag_reposition]
+_FLAG_STREAM = 101            # rand stream ids disjoint from joint resets
+_HASH = 0x9E3779B9            # epoch hash-combine for per-flag draws
+
+
+class HumanoidFlagrunTask(WalkerTask):
+    """Humanoid chasing repositioned flags. The walk target re-randomizes
+    when reached (dist < 1) or when the flag timer expires
+    [ref: HumanoidFlagrun.calc_state/flag_reposition]."""
+
+    def __init__(self, spec: Optional[WalkerSpec] = None):
+        super().__init__(spec if spec is not None else HUMANOID_FLAGRUN)
+
+    def _draw_flag(self, ids, count):
+        seed, env_id, epoch = ids
+        # unique counter per (episode, flag index): hash-combine epoch/count
+        e2 = jnp.uint32(epoch) * jnp.uint32(2654435761) + (
+            count.astype(jnp.uint32) * jnp.uint32(_HASH)
+        )
+        tx = rand.uniform(seed, _FLAG_STREAM, env_id, e2, -_FLAG_X, _FLAG_X)
+        ty = rand.uniform(seed, _FLAG_STREAM + 1, env_id, e2, -_FLAG_Y, _FLAG_Y)
+        return tx, ty
+
+    def initial_state_scalar(self, seed, env_id, epoch):
+        q, v, aux = super().initial_state_scalar(seed, env_id, epoch)
+        count = jnp.zeros_like(aux["target_x"])
+        tx, ty = self._draw_flag((seed, env_id, epoch), count)
+        aux["target_x"], aux["target_y"] = tx, ty
+        aux["flag_timeout"] = jnp.full_like(tx, _FLAG_TIMEOUT)
+        aux["flag_count"] = count
+        # reset potential against the drawn flag (reference reset() ends
+        # with calc_potential [ref: env_bases.py · BaseBulletEnv.reset])
+        aux["potential"] = self._potential(q, v, tx, ty)
+        return q, v, aux
+
+    def _retarget(self, bx, by, dist, aux, ids):
+        timeout = aux["flag_timeout"] - 1.0
+        need = (dist < 1.0) | (timeout <= 0.0)
+        count = aux["flag_count"]
+        ntx, nty = self._draw_flag(ids, count + 1.0)
+        tx = jnp.where(need, ntx, aux["target_x"])
+        ty = jnp.where(need, nty, aux["target_y"])
+        aux = dict(aux)
+        aux["flag_timeout"] = jnp.where(need, _FLAG_TIMEOUT, timeout)
+        aux["flag_count"] = jnp.where(need, count + 1.0, count)
+        return tx, ty, aux
+
+
+class HumanoidFlagrunHarderTask(HumanoidFlagrunTask):
+    """Flagrun + adversity [ref: HumanoidFlagrunHarder]: electricity cost
+    quartered (crawling allowed), an aggressive cube hurled at the torso
+    every 30 frames, and a get-up state machine replacing the alive bonus:
+    potential_leak = 2 * clip(z, 0, 0.8)/0.8 while fewer than 170
+    consecutive low-z frames, else -1."""
+
+    GROUND_LIMIT = 170.0
+    CUBE_PERIOD = 30
+    CUBE_MIN_FRAME = 100
+
+    def __init__(self):
+        super().__init__(HUMANOID_FLAGRUN_HARDER)
+        m = self.model
+        self.cube_body = m.body_index("aggressive_cube")
+        self.cube_qadr = m.bodies[self.cube_body].q_adr
+        self.cube_vadr = m.bodies[self.cube_body].v_adr
+
+    def initial_state_scalar(self, seed, env_id, epoch):
+        q, v, aux = super().initial_state_scalar(seed, env_id, epoch)
+        like = aux["target_x"]
+        aux["ground_counter"] = jnp.zeros_like(like)
+        aux["frame"] = jnp.zeros_like(like)
+        # reference pins initial_z to 0.8 [ref: FlagrunHarder
+        # robot_specific_reset — self.initial_z = 0.8]
+        aux["initial_z"] = jnp.full_like(like, 0.8)
+        return q, v, aux
+
+    def pre_physics_scalar(self, q, v, aux, ids=None):
+        """Hurl the cube at the torso every CUBE_PERIOD frames while the
+        robot is standing [ref: HumanoidFlagrunHarder.alive_bonus —
+        aggressive_cube.reset_position/reset_velocity]."""
+        frame = aux["frame"]
+        period_hit = (frame % float(self.CUBE_PERIOD)) == 0.0
+        throw = period_hit & (frame > float(self.CUBE_MIN_FRAME)) & (
+            aux["ground_counter"] == 0.0
+        )
+
+        seed, env_id, epoch = ids
+        e2 = jnp.uint32(epoch) * jnp.uint32(2654435761) + (
+            frame.astype(jnp.uint32) * jnp.uint32(_HASH)
+        )
+        angle = rand.uniform(seed, 110, env_id, e2, -3.14, 3.14)
+        speed = rand.uniform(seed, 111, env_id, e2, 20.0, 30.0)
+        from_dist = 4.0
+
+        # torso position ~ root free-joint translation (q[0:3])
+        txyz = (q[0], q[1], q[2])
+        px = txyz[0] + from_dist * jnp.cos(angle)
+        py = txyz[1] + from_dist * jnp.sin(angle)
+        pz = txyz[2] + 1.0
+        dvec = (txyz[0] - px, txyz[1] - py, txyz[2] - pz)
+        dn = jnp.sqrt(dvec[0] ** 2 + dvec[1] ** 2 + dvec[2] ** 2) + 1e-9
+        jx = rand.uniform(seed, 112, env_id, e2, -1.0, 1.0)
+        jy = rand.uniform(seed, 113, env_id, e2, -1.0, 1.0)
+        jz = rand.uniform(seed, 114, env_id, e2, -1.0, 1.0)
+        vx = speed * dvec[0] / dn + jx
+        vy = speed * dvec[1] / dn + jy
+        vz = speed * dvec[2] / dn + jz
+
+        q = list(q)
+        v = list(v)
+        qa, va = self.cube_qadr, self.cube_vadr
+        one = jnp.ones_like(px)
+        new_q = (px, py, pz, one, 0.0 * one, 0.0 * one, 0.0 * one)
+        for i, val in enumerate(new_q):
+            q[qa + i] = jnp.where(throw, val, q[qa + i])
+        # cube free-joint dofs: [ang_body(3), lin_body(3)]; identity
+        # orientation at throw time => body frame == world frame
+        new_v = (0.0 * one, 0.0 * one, 0.0 * one, vx, vy, vz)
+        for i, val in enumerate(new_v):
+            v[va + i] = jnp.where(throw, val, v[va + i])
+        return q, v, aux
+
+    def _alive_aux(self, z, pitch, feet, aux):
+        """Get-up state machine [ref: HumanoidFlagrunHarder.alive_bonus]:
+        count consecutive low-z frames (decay when recovered); alive =
+        potential_leak while the counter is under GROUND_LIMIT, else -1."""
+        counter = aux["ground_counter"]
+        counter = jnp.where(
+            z < 0.8, counter + 1.0, jnp.maximum(counter - 1.0, 0.0)
+        )
+        leak = 2.0 * jnp.clip(z, 0.0, 0.8) / 0.8
+        alive = jnp.where(counter < self.GROUND_LIMIT, leak, -jnp.ones_like(z))
+        aux = dict(aux)
+        aux["ground_counter"] = counter
+        aux["frame"] = aux["frame"] + 1.0
+        return alive, aux
+
+
+HUMANOID_FLAGRUN = dataclasses.replace(HUMANOID, name="humanoid_flagrun")
+
+HUMANOID_FLAGRUN_HARDER = dataclasses.replace(
+    HUMANOID,
+    name="humanoid_flagrun_harder",
+    xml="humanoid_cube.xml",
+    cost_scale=4.25 / 4.0,   # electricity quartered [ref: FlagrunHarder]
+    exclude_parts=("aggressive_cube",),
 )

@@ -1,0 +1,133 @@
+"""Manipulation tasks: Reacher (Pusher/Striker/Thrower in later rounds).
+
+Reacher contract [ref: …/robots/manipulators/reacher.py · Reacher,
+…/envs/manipulation/reacher_env.py · ReacherBulletEnv]:
+
+* scene: SingleRobotEmptyScene(gravity=0.0, timestep=0.0165, frame_skip=1)
+* apply_action: torque = 0.05 * clip(a_i) on central/elbow joints
+* reset: central & elbow ~ U(-3.14, 3.14); target_x/target_y joints
+  ~ U(-0.27, 0.27) (TARG_LIMIT), zero velocities
+* obs(9) = [target_x, target_y, to_target_x, to_target_y,
+            cos(theta), sin(theta), 0.1*theta_dot,
+            gamma_rel, 0.1*gamma_dot]
+  where theta is the (unlimited) central joint angle and gamma_rel the
+  limit-normalized elbow angle [ref: robot_bases.py ·
+  Joint.current_relative_position].
+* potential = -100 * ||fingertip - target||; reward = progress +
+  electricity + stuck_joint_cost with
+  electricity = -0.10*(|a0*theta_dot| + |a1*gamma_dot|) - 0.01*(|a0|+|a1|)
+  stuck_joint_cost = -0.1 when the elbow sits at its limit
+  (| |gamma_rel| - 1 | < 0.01); never terminates (timeout 150 only).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from pybulletgym_tpu.envs.base import Task
+from pybulletgym_tpu.models.assets import asset_path
+from pybulletgym_tpu.models.mjcf import load_mjcf
+from pybulletgym_tpu.ops import dynamics as dyn
+from pybulletgym_tpu.ops import rand
+from pybulletgym_tpu.ops import smath as sm
+from pybulletgym_tpu.ops.contacts import SolverConfig
+from pybulletgym_tpu.ops.step import PhysicsConfig
+
+
+class ReacherTask(Task):
+    TARG_LIMIT = 0.27
+
+    def __init__(self):
+        self.model = load_mjcf(asset_path("reacher.xml"))
+        self.physics = PhysicsConfig(
+            timestep=0.0165, frame_skip=1, gravity=(0.0, 0.0, 0.0),
+            solver=SolverConfig(),
+        )
+        m = self.model
+        self.central_dof = m.dof_index("joint0")
+        self.elbow_dof = m.dof_index("joint1")
+        self.tx_dof = m.dof_index("target_x")
+        self.ty_dof = m.dof_index("target_y")
+        self.central_qadr = _qadr(m, self.central_dof)
+        self.elbow_qadr = _qadr(m, self.elbow_dof)
+        self.tx_qadr = _qadr(m, self.tx_dof)
+        self.ty_qadr = _qadr(m, self.ty_dof)
+        lo, hi = m.jnt_range[self.elbow_dof]
+        self.elbow_mid = 0.5 * (lo + hi)
+        self.elbow_halfrange = 0.5 * (hi - lo)
+        host, pos, quat = m.frames["fingertip"]
+        self.fingertip = (host, np.asarray(pos, np.float64))
+        host_t, pos_t, quat_t = m.frames["target"]
+        self.target_frame = (host_t, np.asarray(pos_t, np.float64))
+        self.obs_dim = 9
+        self.act_dim = 2
+        self.max_episode_steps = 150
+        self.torque_gain = 0.05
+
+    def initial_state_scalar(self, seed, env_id, epoch):
+        m = self.model
+        like = (seed * 0).astype(jnp.int32).astype(jnp.float32)
+        q = [jnp.full_like(like, float(x)) for x in m.qpos0]
+        q[self.central_qadr] = rand.uniform(seed, 0, env_id, epoch, -3.14, 3.14)
+        q[self.elbow_qadr] = rand.uniform(seed, 1, env_id, epoch, -3.14, 3.14)
+        q[self.tx_qadr] = rand.uniform(
+            seed, 2, env_id, epoch, -self.TARG_LIMIT, self.TARG_LIMIT
+        )
+        q[self.ty_qadr] = rand.uniform(
+            seed, 3, env_id, epoch, -self.TARG_LIMIT, self.TARG_LIMIT
+        )
+        v = [jnp.zeros_like(like) for _ in range(m.nv)]
+        aux = {"potential": self._potential_from_q(q, v)}
+        return q, v, aux
+
+    def _to_target(self, q, v):
+        fk = dyn.forward_kinematics(self.model, q, v, with_inertia=False)
+        hf, pf = self.fingertip
+        tip = sm.v3_add(fk.p[hf], sm.m3_vec(fk.R[hf], tuple(float(x) for x in pf)))
+        ht, pt = self.target_frame
+        tgt = sm.v3_add(fk.p[ht], sm.m3_vec(fk.R[ht], tuple(float(x) for x in pt)))
+        return tuple(a - b for a, b in zip(tip, tgt))
+
+    def _potential_from_q(self, q, v):
+        d = self._to_target(q, v)
+        return -100.0 * jnp.sqrt(d[0] ** 2 + d[1] ** 2 + d[2] ** 2)
+
+    def action_tau_scalar(self, a):
+        tau = [0.0] * self.model.nv
+        tau[self.central_dof] = self.torque_gain * a[0]
+        tau[self.elbow_dof] = self.torque_gain * a[1]
+        return tau
+
+    def output_scalar(self, q, v, depths, a, aux, ids=None):
+        theta = q[self.central_qadr]
+        theta_dot = 0.1 * v[self.central_dof]
+        gamma_rel = (q[self.elbow_qadr] - self.elbow_mid) / self.elbow_halfrange
+        gamma_dot = 0.1 * v[self.elbow_dof]
+        tx, ty = q[self.tx_qadr], q[self.ty_qadr]
+        d = self._to_target(q, v)
+        obs = [tx, ty, d[0], d[1],
+               jnp.cos(theta), jnp.sin(theta), theta_dot,
+               gamma_rel, gamma_dot]
+
+        potential = -100.0 * jnp.sqrt(d[0] ** 2 + d[1] ** 2 + d[2] ** 2)
+        progress = potential - aux["potential"]
+        electricity = (
+            -0.10 * (jnp.abs(a[0] * theta_dot) + jnp.abs(a[1] * gamma_dot))
+            - 0.01 * (jnp.abs(a[0]) + jnp.abs(a[1]))
+        )
+        stuck = jnp.where(
+            jnp.abs(jnp.abs(gamma_rel) - 1.0) < 0.01, -0.1, 0.0
+        )
+        reward = progress + electricity + stuck
+        terminated = jnp.zeros_like(reward, bool)
+        comps = {"progress": progress, "electricity": electricity,
+                 "stuck_joint": stuck}
+        return obs, reward, terminated, {"potential": potential}, comps
+
+
+def _qadr(model, v_adr: int) -> int:
+    for b in model.bodies:
+        if b.v_adr == v_adr:
+            return b.q_adr
+    raise ValueError(v_adr)

@@ -64,7 +64,7 @@ class InvertedPendulumTask(Task):
         tau[self.slider_dof] = self.torque_gain * a[0]
         return tau
 
-    def output_scalar(self, q, v, depths, a, aux):
+    def output_scalar(self, q, v, depths, a, aux, ids=None):
         theta = q[self.hinge_qadr]
         theta_dot = v[self.hinge_dof]
         x = q[self.slider_qadr]
@@ -116,7 +116,7 @@ class InvertedDoublePendulumTask(Task):
         tau[self.slider_dof] = self.torque_gain * a[0]
         return tau
 
-    def output_scalar(self, q, v, depths, a, aux):
+    def output_scalar(self, q, v, depths, a, aux, ids=None):
         m = self.model
         fk = dyn.forward_kinematics(m, q, v, with_inertia=False)
         com2 = fk.com[self.pole2]

@@ -152,6 +152,8 @@ def make_pallas_env_step(task, interpret: bool = False):
             k: jnp.where(done, faux[k], aux_ref[j]) for j, k in enumerate(aux_keys)
         }
         step_count = jnp.where(done, 0, sc_ref[0])
+        ids = (seed, env_id, epoch)
+        q, v, aux = task.pre_physics_scalar(q, v, aux, ids)
 
         # ---- torques [ref: WalkerBase.apply_action] --------------------
         a = [jnp.clip(a_ref[i], -1.0, 1.0) for i in range(act)]
@@ -172,7 +174,7 @@ def make_pallas_env_step(task, interpret: bool = False):
 
         # ---- observations / rewards [ref: WalkerBaseBulletEnv.step] ----
         obs, reward, term, aux2, comps = task.output_scalar(
-            list(q2), list(v2), list(d[:n_rows]), a, aux
+            list(q2), list(v2), list(d[:n_rows]), a, aux, ids
         )
 
         # NaN guard [ref: walker_base_env.py · step isfinite check]
@@ -206,14 +208,14 @@ def make_pallas_env_step(task, interpret: bool = False):
             compso[j] = comps[k]
 
     # probe comps keys
-    def _probe(q, v, d, a, aux):
-        return task.output_scalar(q, v, d, a, aux)
+    def _probe(q, v, d, a, aux, ids):
+        return task.output_scalar(q, v, d, a, aux, ids)
 
     f_like = jax.ShapeDtypeStruct((_SUB, _LANE), jnp.float32)
     _, _, _, _, comps_shape = jax.eval_shape(
         _probe,
         [f_like] * nq, [f_like] * nv, [f_like] * n_rows, [f_like] * act,
-        {k: f_like for k in aux_keys},
+        {k: f_like for k in aux_keys}, (s_like, i_like, s_like),
     )
     comp_keys = tuple(sorted(comps_shape.keys()))
     ncomp = max(len(comp_keys), 1)

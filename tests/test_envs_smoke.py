@@ -1,0 +1,52 @@
+"""Construct + rollout every registered env (the reference's test strategy:
+instantiate every registered id, step random actions, assert no crash and
+obs conformity [ref: pybulletgym/tests/ — SURVEY §4])."""
+
+import numpy as np
+import pytest
+
+import pybulletgym_tpu as pg
+from pybulletgym_tpu.api.registry import registry
+
+B = 4
+N_STEPS = 5
+
+
+@pytest.mark.parametrize("env_id", sorted(registry))
+def test_batched_rollout(env_id, rng):
+    env = pg.make_batched(env_id, B, backend="xla")
+    state = env.reset(seed=123)
+    obs = env.observations(state)
+    assert obs.shape == (B, env.observation_size)
+    assert np.all(np.isfinite(np.asarray(obs)))
+    for _ in range(N_STEPS):
+        a = rng.uniform(-1, 1, (B, env.action_size)).astype(np.float32)
+        state = env.step(state, a)
+        obs = np.asarray(env.observations(state))
+        assert obs.shape == (B, env.observation_size)
+        assert np.all(np.isfinite(obs))
+        # roboschool walkers clip obs to [-5, 5] [ref: WalkerBase.calc_state];
+        # pendula and the MuJoCo-parity family do not
+        if "PyBulletEnv" in env_id and "Pendulum" not in env_id:
+            assert np.all(np.abs(obs) <= 5.0 + 1e-6)
+        r = np.asarray(state.reward)
+        assert r.shape == (B,) and np.all(np.isfinite(r))
+    # reward decomposition is exposed like the reference's self.rewards list
+    # [ref: walker_base_env.py · step]
+    assert state.rewards, "reward components dict must be populated"
+
+
+@pytest.mark.parametrize("env_id", sorted(registry))
+def test_single_env_gym_api(env_id, rng):
+    env = pg.make(env_id)
+    obs, info = env.reset(seed=7)
+    assert obs.shape == env.observation_space.shape
+    total = 0.0
+    for _ in range(N_STEPS):
+        a = rng.uniform(-1, 1, env.action_space.shape).astype(np.float32)
+        obs, r, term, trunc, info = env.step(a)
+        total += float(r)
+        assert np.all(np.isfinite(obs))
+        if term or trunc:
+            obs, info = env.reset(seed=8)
+    assert np.isfinite(total)
