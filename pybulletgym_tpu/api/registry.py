@@ -121,6 +121,7 @@ def _register_all() -> None:
     from pybulletgym_tpu.envs import manipulation as manip
 
     register("ReacherPyBulletEnv-v0", manip.ReacherTask, 150, 18.0)
+    register("PusherPyBulletEnv-v0", manip.PusherTask, 150, 18.0)
 
     # MuJoCo-parity family [ref: pybulletgym/envs/mujoco/** — SURVEY §2.4]
     from pybulletgym_tpu.envs import mujoco_family as mjf
@@ -133,6 +134,7 @@ def _register_all() -> None:
     register("Walker2DMuJoCoEnv-v0", mjf.Walker2DMuJoCoTask, 1000, None)
     register("HalfCheetahMuJoCoEnv-v0", mjf.HalfCheetahMuJoCoTask, 1000, 4800.0)
     register("AntMuJoCoEnv-v0", mjf.AntMuJoCoTask, 1000, 6000.0)
+    register("ReacherMuJoCoEnv-v0", mjf.ReacherMuJoCoTask, 1000, 18.0)
 
 
 _register_all()

@@ -155,15 +155,17 @@ def make_env(task: Task):
         obs, _, _, aux, comps = task.output(
             q, v, zero_depths, zero_act, aux, (seed, env_id, epoch)
         )
-        zb = jnp.zeros((B,), q.dtype)
+        # every leaf gets its OWN buffer: jit callers may donate the whole
+        # EnvState, and XLA rejects donation of aliased buffers
+        zb = lambda: jnp.zeros((B,), q.dtype)
         return EnvState(
-            q=q, v=v, obs=obs, reward=zb,
+            q=q, v=v, obs=obs, reward=zb(),
             terminated=jnp.zeros((B,), bool), truncated=jnp.zeros((B,), bool),
             step_count=jnp.zeros((B,), jnp.int32),
             epoch=jnp.asarray(epoch, jnp.uint32),
             env_id=jnp.asarray(env_id, jnp.int32),
             seed=jnp.asarray(seed, jnp.uint32),
-            aux=aux, rewards={k: zb for k in comps},
+            aux=aux, rewards={k: zb() for k in comps},
         )
 
     def step_fn(state: EnvState, action) -> EnvState:

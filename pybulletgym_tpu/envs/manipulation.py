@@ -126,6 +126,102 @@ class ReacherTask(Task):
         return obs, reward, terminated, {"potential": potential}, comps
 
 
+class PusherTask(Task):
+    """7-DoF arm pushing a cylinder to a goal on a table
+    [ref: …/robots/manipulators/pusher.py · Pusher,
+    …/envs/manipulation/pusher_env.py · PusherBulletEnv] — contracts per
+    Gym-Pusher-v2, which the reference mirrors:
+
+    * obs(23) = [qpos[:7], qvel[:7], tips_arm(3), object(3), goal(3)]
+    * reward = reward_dist + 0.5*reward_near + 0.1*reward_ctrl with
+      reward_dist = -||obj - goal||, reward_near = -||tips - obj||,
+      reward_ctrl = -sum(a^2); never terminates (timeout only)
+    * reset: object xy ~ (U(-0.3, 0), U(-0.2, 0.2)) kept >= 0.17 from the
+      goal (we project too-close draws out radially instead of rejection
+      sampling — (M) distribution deviation); arm qvel ~ U(-0.005, 0.005)
+    * torque = gear * ctrlrange_hi * clip(a) = 2*a
+    """
+
+    def __init__(self):
+        self.model = load_mjcf(asset_path("pusher.xml"))
+        m = self.model
+        # fingertip/forearm capsules vs the object cylinder: the pairs
+        # MuJoCo's contype/conaffinity masks activate in pusher.xml
+        pairs = (("geom15", "geom19"), ("geom16", "geom19"), ("geom17", "geom19"))
+        self.physics = PhysicsConfig(
+            timestep=0.0165, frame_skip=1, gravity=(0.0, 0.0, -9.8),
+            solver=SolverConfig(self_collision_pairs=pairs),
+        )
+        self.arm_dofs = [a.v_adr for a in m.actuators]
+        self.gains = [a.gear * a.ctrlrange[1] for a in m.actuators]
+        self.obj_x = m.dof_index("obj_slidey")   # document order: first slide
+        self.obj_y = m.dof_index("obj_slidex")
+        self.goal_x = m.dof_index("goal_slidey")
+        self.goal_y = m.dof_index("goal_slidex")
+        self.tips = m.frames["tips_arm"]
+        self.obj_frame = m.frames["object"]
+        self.goal_frame = m.frames["goal"]
+        self.obs_dim = 23
+        self.act_dim = 7
+        self.max_episode_steps = 150
+
+    def initial_state_scalar(self, seed, env_id, epoch):
+        m = self.model
+        like = (seed * 0).astype(jnp.int32).astype(jnp.float32)
+        q = [jnp.full_like(like, float(x)) for x in m.qpos0]
+        cx = rand.uniform(seed, 0, env_id, epoch, -0.3, 0.0)
+        cy = rand.uniform(seed, 1, env_id, epoch, -0.2, 0.2)
+        # keep the object >= 0.17 from the goal (at joint coords (0, 0))
+        d = jnp.sqrt(cx * cx + cy * cy) + 1e-9
+        scale = jnp.maximum(1.0, 0.18 / d)
+        q[_qadr(m, self.obj_x)] = cx * scale
+        q[_qadr(m, self.obj_y)] = cy * scale
+        q[_qadr(m, self.goal_x)] = jnp.zeros_like(like)
+        q[_qadr(m, self.goal_y)] = jnp.zeros_like(like)
+        v = [
+            rand.uniform(seed, 10 + i, env_id, epoch, -0.005, 0.005)
+            for i in range(m.nv)
+        ]
+        for dof in (self.obj_x, self.obj_y, self.goal_x, self.goal_y):
+            v[dof] = jnp.zeros_like(like)
+        return q, v, {}
+
+    def action_tau_scalar(self, a):
+        tau = [0.0] * self.model.nv
+        for i, dof in enumerate(self.arm_dofs):
+            tau[dof] = self.gains[i] * a[i]
+        return tau
+
+    def _points(self, q, v):
+        fk = dyn.forward_kinematics(self.model, q, v, with_inertia=False)
+
+        def world(frame):
+            host, pos, quat = frame
+            return sm.v3_add(
+                fk.p[host], sm.m3_vec(fk.R[host], tuple(float(x) for x in pos))
+            )
+
+        return world(self.tips), world(self.obj_frame), world(self.goal_frame)
+
+    def output_scalar(self, q, v, depths, a, aux, ids=None):
+        tips, obj, goal = self._points(q, v)
+        obs = (
+            [q[_qadr(self.model, d)] for d in self.arm_dofs]
+            + [v[d] for d in self.arm_dofs]
+            + list(tips) + list(obj) + list(goal)
+        )
+        d_no = tuple(o - g for o, g in zip(obj, goal))
+        d_to = tuple(t - o for t, o in zip(tips, obj))
+        reward_dist = -jnp.sqrt(sum(x * x for x in d_no) + 1e-12)
+        reward_near = -jnp.sqrt(sum(x * x for x in d_to) + 1e-12)
+        reward_ctrl = -sum(ai * ai for ai in a)
+        reward = reward_dist + 0.5 * reward_near + 0.1 * reward_ctrl
+        terminated = jnp.zeros_like(reward, bool)
+        comps = {"dist": reward_dist, "near": 0.5 * reward_near,
+                 "ctrl": 0.1 * reward_ctrl}
+        return obs, reward, terminated, dict(aux), comps
+
+
 def _qadr(model, v_adr: int) -> int:
     for b in model.bodies:
         if b.v_adr == v_adr:

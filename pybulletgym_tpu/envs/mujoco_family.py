@@ -204,6 +204,74 @@ class AntMuJoCoTask(_MjBase):
         return obs, reward, terminated, {"x": x}, comps
 
 
+class ReacherMuJoCoTask(_MjBase):
+    """[ref: …/mujoco/envs/manipulation/reacher_env.py] — Gym-Reacher-v2:
+    obs 11 = [cos(th), sin(th), target_xy, qvel_arm, (fingertip-target)_xyz]
+    reward = -||fingertip - target|| - sum(a^2); never terminates."""
+
+    xml = "reacher.xml"
+    obs_dim = 11
+    frame_skip = 1
+    timestep = 0.0165
+
+    def _setup(self):
+        m = self.model
+        self.j0 = m.dof_index("joint0")
+        self.j1 = m.dof_index("joint1")
+        self.tx = m.dof_index("target_x")
+        self.ty = m.dof_index("target_y")
+        self.fingertip = m.frames["fingertip"]
+        self.target = m.frames["target"]
+        self.max_episode_steps = 1000  # reference registers 1000 for mirrors
+
+    def initial_state_scalar(self, seed, env_id, epoch):
+        m = self.model
+        like = (seed * 0).astype(jnp.int32).astype(jnp.float32)
+        q = [jnp.full_like(like, float(x)) for x in m.qpos0]
+        q[self.j0] = rand.uniform(seed, 0, env_id, epoch, -0.1, 0.1)
+        q[self.j1] = rand.uniform(seed, 1, env_id, epoch, -0.1, 0.1)
+        # goal sampled in the 0.2-radius disk (Gym: rejection-sampled;
+        # we sample r ~ sqrt(U)*0.2, angle ~ U — same distribution)
+        u = rand.uniform(seed, 2, env_id, epoch, 0.0, 1.0)
+        ang = rand.uniform(seed, 3, env_id, epoch, -3.14159, 3.14159)
+        r = 0.2 * jnp.sqrt(u)
+        q[self.tx] = r * jnp.cos(ang)
+        q[self.ty] = r * jnp.sin(ang)
+        v = [
+            rand.uniform(seed, 4 + i, env_id, epoch, -0.005, 0.005)
+            for i in range(m.nv)
+        ]
+        v[self.tx] = jnp.zeros_like(like)
+        v[self.ty] = jnp.zeros_like(like)
+        return q, v, {}
+
+    def _vec(self, q, v):
+        fk = dyn.forward_kinematics(self.model, q, v, with_inertia=False)
+
+        def world(frame):
+            host, pos, _ = frame
+            return sm.v3_add(
+                fk.p[host], sm.m3_vec(fk.R[host], tuple(float(x) for x in pos))
+            )
+
+        tip, tgt = world(self.fingertip), world(self.target)
+        return tuple(a - b for a, b in zip(tip, tgt))
+
+    def output_scalar(self, q, v, depths, a, aux, ids=None):
+        vec = self._vec(q, v)
+        obs = [jnp.cos(q[self.j0]), jnp.cos(q[self.j1]),
+               jnp.sin(q[self.j0]), jnp.sin(q[self.j1]),
+               q[self.tx], q[self.ty],
+               v[self.j0], v[self.j1],
+               vec[0], vec[1], vec[2]]
+        reward_dist = -jnp.sqrt(sum(x * x for x in vec) + 1e-12)
+        reward_ctrl = -sum(ai * ai for ai in a)
+        reward = reward_dist + reward_ctrl
+        terminated = jnp.zeros_like(reward, bool)
+        comps = {"dist": reward_dist, "ctrl": reward_ctrl}
+        return obs, reward, terminated, dict(aux), comps
+
+
 class InvertedPendulumMuJoCoTask(_MjBase):
     """[ref: …/mujoco/envs/pendulum/inverted_pendulum_env.py]"""
 

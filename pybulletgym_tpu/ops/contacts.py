@@ -181,7 +181,10 @@ def build_contact_plan(model: Model, cfg: SolverConfig):
             if g.gtype == GeomType.SPHERE:
                 p = tuple(float(x) for x in g.pos)
                 return p, p, float(g.size[0])
-            if g.gtype == GeomType.CAPSULE:
+            # CYLINDER is approximated by its inscribed capsule: exact for
+            # side contacts (how the Pusher object is pushed), rounded at
+            # the end caps (documented deviation from Bullet narrowphase).
+            if g.gtype in (GeomType.CAPSULE, GeomType.CYLINDER):
                 e = _geom_capsule_ends(g)
                 return (
                     tuple(float(x) for x in e[0]),

@@ -217,6 +217,10 @@ def train(env_id: str, batch_size: int, num_iterations: int,
         ts = jax.tree.map(
             lambda x: jax.device_put(x, pmesh.replicated(mesh)), ts
         )
+    # donated inputs must not alias: the TPU runtime dedupes identical
+    # constants (zeros) into one buffer, so force unique buffers once
+    ts = jax.tree.map(lambda x: x.copy(), ts)
+    es = jax.tree.map(lambda x: x.copy(), es)
     step_j = jax.jit(train_step, donate_argnums=(0, 1))
     metrics = None
     for it in range(num_iterations):

@@ -1,0 +1,77 @@
+"""Frozen-policy behavioral regression: a PPO-trained policy shipped in
+examples/weights must keep solving its env — the role the reference's
+pretrained `enjoy_TF_*` demos play as de-facto regression anchors
+[ref: pybulletgym/examples/roboschool-weights — SURVEY §3.5/§4]."""
+
+import glob
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import pybulletgym_tpu as pg
+from pybulletgym_tpu.envs.base import make_env
+
+WEIGHTS = sorted(glob.glob(
+    os.path.join(os.path.dirname(__file__), "..", "examples", "weights", "*.npz")
+))
+
+# env id -> minimum acceptable mean return (registry reward_threshold where
+# defined)
+MIN_RETURN = {"InvertedPendulumPyBulletEnv-v0": 950.0}
+
+
+def _policy(path):
+    d = np.load(path)
+    n = int(d["n_layers"])
+    ws = [jnp.asarray(d[f"w{i}"]) for i in range(n)]
+    bs = [jnp.asarray(d[f"b{i}"]) for i in range(n)]
+
+    def act(obs):  # obs (B, obs_dim)
+        h = obs
+        for i, (w, b) in enumerate(zip(ws, bs)):
+            h = h @ w + b
+            if i < n - 1:
+                h = jnp.tanh(h)
+        return jnp.clip(h, -1.0, 1.0)
+
+    return act
+
+
+@pytest.mark.parametrize(
+    "path", WEIGHTS, ids=[os.path.basename(p)[:-4] for p in WEIGHTS]
+)
+def test_frozen_policy_return(path):
+    env_id = os.path.basename(path)[:-4]
+    act = _policy(path)
+    B = 4
+    env = pg.make_batched(env_id, B, backend="xla", jit=False)
+    task = env.task
+    _, step_fn = make_env(task)
+
+    def rollout(state):
+        def body(s, _):
+            a = act(s.obs.T)
+            s2 = step_fn(s, a.T)
+            # freeze finished episodes: stop accumulating after first done
+            return s2, (s2.reward, s2.done)
+
+        _, (rews, dones) = jax.lax.scan(
+            body, state, None, length=task.max_episode_steps
+        )
+        alive = jnp.cumprod(1.0 - dones.astype(jnp.float32), axis=0)
+        # include the terminal step's reward, exclude post-reset life
+        prev_alive = jnp.concatenate([jnp.ones((1, B)), alive[:-1]], axis=0)
+        return jnp.sum(rews * prev_alive, axis=0)
+
+    returns = np.asarray(jax.jit(rollout)(env.reset(seed=123)))
+    floor = MIN_RETURN.get(env_id, None)
+    assert np.isfinite(returns).all()
+    if floor is not None:
+        assert returns.mean() >= floor, f"{env_id}: returns {returns}"
+
+
+def test_at_least_one_frozen_policy_shipped():
+    assert WEIGHTS, "examples/weights must contain at least one trained policy"
