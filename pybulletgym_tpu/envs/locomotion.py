@@ -336,6 +336,26 @@ ANT = WalkerSpec(
     ),
 )
 
+# Self-collision pair subset for the Humanoid (reference loads it with
+# URDF_USE_SELF_COLLISION [ref: MJCFBasedRobot.reset, self_collision=True];
+# Bullet then tests all non-parent pairs — we keep the pairs that actually
+# carry impulses during locomotion/falls: legs crossing, arms vs torso,
+# hands vs pelvis, arms crossing).
+_HUMANOID_SELF_PAIRS = (
+    ("left_thigh1", "right_thigh1"),
+    ("left_shin1", "right_shin1"),
+    ("left_foot", "right_foot"),
+    ("left_shin1", "right_thigh1"),
+    ("right_shin1", "left_thigh1"),
+    ("left_foot", "right_shin1"),
+    ("right_foot", "left_shin1"),
+    ("right_larm", "torso1"),
+    ("left_larm", "torso1"),
+    ("right_hand", "butt"),
+    ("left_hand", "butt"),
+    ("left_larm", "right_larm"),
+)
+
 HUMANOID = WalkerSpec(
     name="humanoid",
     xml="humanoid.xml",
@@ -343,6 +363,7 @@ HUMANOID = WalkerSpec(
     alive_mode="humanoid",
     foot_geoms=("right_foot", "left_foot"),
     cost_scale=4.25,
+    self_collision=_HUMANOID_SELF_PAIRS,
     coef_overrides={
         "abdomen_z": 100.0, "abdomen_y": 100.0, "abdomen_x": 100.0,
         "right_hip_x": 100.0, "right_hip_z": 100.0, "right_hip_y": 300.0,

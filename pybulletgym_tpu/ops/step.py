@@ -85,18 +85,24 @@ def make_substep(model: Model, cfg: PhysicsConfig):
 
     def substep(q, v, tau):
         """One physics substep on stacked arrays. Returns (q', v', depths)
-        with depths (R, B) — the `p.getContactPoints` replacement."""
+        with depths (R, B) — the `p.getContactPoints` replacement.
+
+        Phases carry jax.named_scope so jax.profiler traces attribute time
+        to dynamics/collision/solver (SURVEY §5 tracing plan — the
+        reference has no profiling hooks at all)."""
         B = q.shape[-1]
         q_s = [q[i] for i in range(model.nq)]
         v_s = [v[i] for i in range(model.nv)]
-        fk = dyn.forward_kinematics(model, q_s, v_s)
-        S6 = dyn.pack_S(model, fk)                       # (nv, 6, B)
-        M = dyn.crba_packed(model, fk, S6)               # (B, nv, nv)
-        C = dyn.bias_packed(model, fk, cfg.gravity, S6)  # (nv, B)
+        with jax.named_scope("fk_dynamics"):
+            fk = dyn.forward_kinematics(model, q_s, v_s)
+            S6 = dyn.pack_S(model, fk)                       # (nv, 6, B)
+            M = dyn.crba_packed(model, fk, S6)               # (B, nv, nv)
+            C = dyn.bias_packed(model, fk, cfg.gravity, S6)  # (nv, B)
         taup = -jnp.asarray(damp) * v - jnp.asarray(stiff) * (q[qmap] - jnp.asarray(sref))
         rhs_dyn = tau + taup - C                         # (nv, B)
 
-        pc = ct.narrowphase(model, fk, plan)
+        with jax.named_scope("narrowphase"):
+            pc = ct.narrowphase(model, fk, plan)
         J = ct.contact_jacobians(model, S6, pc) if pc is not None else None
 
         # One batched Cholesky solve for qdd + every constraint row.
@@ -106,8 +112,9 @@ def make_substep(model: Model, cfg: PhysicsConfig):
         if lim is not None:
             cols.append(jnp.broadcast_to(jnp.asarray(onehots), (B, model.nv, L)))
         RHS = jnp.concatenate(cols, axis=-1)
-        Lc = dyn.factorize(M)
-        X = dyn.solve_factored(Lc, RHS)                  # (B, nv, K)
+        with jax.named_scope("cholesky_solve"):
+            Lc = dyn.factorize(M)
+            X = dyn.solve_factored(Lc, RHS)              # (B, nv, K)
         qdd = X[..., 0].T                                # (nv, B)
         ofs = 1
         w_sol = None
@@ -122,14 +129,16 @@ def make_substep(model: Model, cfg: PhysicsConfig):
 
         v2 = v + cfg.timestep * qdd
         if pc is not None or lim is not None:
-            v3, vp, _ = ct.solve_packed(
-                cfg.solver, cfg.timestep, v2, q, pc, J, w_sol, lim, w_lim
-            )
+            with jax.named_scope("pgs_solver"):
+                v3, vp, _ = ct.solve_packed(
+                    cfg.solver, cfg.timestep, v2, q, pc, J, w_sol, lim, w_lim
+                )
         else:
             v3, vp = v2, jnp.zeros_like(v2)
 
         # split impulse: pseudo-velocities only enter the position integral
-        q2 = _integrate(q, v3 + vp)
+        with jax.named_scope("integrate"):
+            q2 = _integrate(q, v3 + vp)
         depths = pc.depth if pc is not None else jnp.zeros((0, B), q.dtype)
         return q2, v3, depths
 
