@@ -122,6 +122,8 @@ def _register_all() -> None:
 
     register("ReacherPyBulletEnv-v0", manip.ReacherTask, 150, 18.0)
     register("PusherPyBulletEnv-v0", manip.PusherTask, 150, 18.0)
+    register("StrikerPyBulletEnv-v0", manip.StrikerTask, 100, 18.0)
+    register("ThrowerPyBulletEnv-v0", manip.ThrowerTask, 100, 18.0)
 
     # MuJoCo-parity family [ref: pybulletgym/envs/mujoco/** — SURVEY §2.4]
     from pybulletgym_tpu.envs import mujoco_family as mjf

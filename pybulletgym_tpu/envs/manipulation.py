@@ -222,6 +222,181 @@ class PusherTask(Task):
         return obs, reward, terminated, dict(aux), comps
 
 
+class StrikerTask(PusherTask):
+    """Strike the ball so it slides to the goal
+    [ref: …/envs/manipulation/striker_env.py · StrikerBulletEnv] —
+    Gym-Striker-v2 contract over the pusher arm model (the reference's
+    striker arm is near-identical; asset reuse is a documented (L)
+    approximation):
+
+    * reward = 3·reward_dist + 0.1·reward_ctrl + 0.5·reward_near where
+      reward_dist = -min over the episode of ||obj - goal|| (tracked in
+      aux), reward_near = -||obj - tips|| until the arm first comes within
+      0.1 of the ball ("striked"), afterwards -||obj - strike_pos||
+    * reset: ball fixed at world (0.5, -0.175); goal ~ (U(0.15,0.7),
+      U(0.1,1.0)) kept >= 0.17 from the ball
+    """
+
+    def __init__(self):
+        super().__init__()
+        self.max_episode_steps = 100
+        m = self.model
+        # world-frame base offsets of the slide chains (host constants)
+        self._obj_base = np.asarray(m.frames["object"][1][:2], np.float64)
+        self._goal_base = np.asarray(m.frames["goal"][1][:2], np.float64)
+
+    BALL_WORLD = (0.5, -0.175)
+
+    def initial_state_scalar(self, seed, env_id, epoch):
+        m = self.model
+        like = (seed * 0).astype(jnp.int32).astype(jnp.float32)
+        q = [jnp.full_like(like, float(x)) for x in m.qpos0]
+        bx, by = self.BALL_WORLD
+        # slides are (slidey, slidex) in document order
+        q[_qadr(m, self.obj_x)] = jnp.full_like(like, by - self._obj_base[1])
+        q[_qadr(m, self.obj_y)] = jnp.full_like(like, bx - self._obj_base[0])
+        gx = rand.uniform(seed, 0, env_id, epoch, 0.15, 0.7)
+        gy = rand.uniform(seed, 1, env_id, epoch, 0.1, 1.0)
+        dx, dy = gx - bx, gy - by
+        d = jnp.sqrt(dx * dx + dy * dy) + 1e-9
+        scale = jnp.maximum(1.0, 0.18 / d)
+        gx = bx + dx * scale
+        gy = by + dy * scale
+        q[_qadr(m, self.goal_x)] = gy - self._goal_base[1]
+        q[_qadr(m, self.goal_y)] = gx - self._goal_base[0]
+        v = [
+            rand.uniform(seed, 10 + i, env_id, epoch, -0.005, 0.005)
+            for i in range(m.nv)
+        ]
+        for dof in (self.obj_x, self.obj_y, self.goal_x, self.goal_y):
+            v[dof] = jnp.zeros_like(like)
+        big = jnp.full_like(like, 1e3)
+        aux = {"min_dist": big, "striked": jnp.zeros_like(like),
+               "strike_x": jnp.zeros_like(like),
+               "strike_y": jnp.zeros_like(like),
+               "strike_z": jnp.zeros_like(like)}
+        return q, v, aux
+
+    def output_scalar(self, q, v, depths, a, aux, ids=None):
+        tips, obj, goal = self._points(q, v)
+        obs = (
+            [q[_qadr(self.model, d)] for d in self.arm_dofs]
+            + [v[d] for d in self.arm_dofs]
+            + list(tips) + list(obj) + list(goal)
+        )
+        vec1 = tuple(o - t for o, t in zip(obj, tips))
+        vec2 = tuple(o - g for o, g in zip(obj, goal))
+        d1 = jnp.sqrt(sum(x * x for x in vec1) + 1e-12)
+        d2 = jnp.sqrt(sum(x * x for x in vec2) + 1e-12)
+        min_dist = jnp.minimum(aux["min_dist"], d2)
+
+        newly = (d1 < 0.1) & (aux["striked"] < 0.5)
+        striked = jnp.maximum(aux["striked"], newly.astype(jnp.float32))
+        sx = jnp.where(newly, tips[0], aux["strike_x"])
+        sy = jnp.where(newly, tips[1], aux["strike_y"])
+        sz = jnp.where(newly, tips[2], aux["strike_z"])
+        vec3 = (obj[0] - sx, obj[1] - sy, obj[2] - sz)
+        d3 = jnp.sqrt(sum(x * x for x in vec3) + 1e-12)
+        reward_near = jnp.where(striked > 0.5, -d3, -d1)
+
+        reward_dist = -min_dist
+        reward_ctrl = -sum(ai * ai for ai in a)
+        reward = 3.0 * reward_dist + 0.1 * reward_ctrl + 0.5 * reward_near
+        terminated = jnp.zeros_like(reward, bool)
+        aux2 = {"min_dist": min_dist, "striked": striked,
+                "strike_x": sx, "strike_y": sy, "strike_z": sz}
+        comps = {"dist": 3.0 * reward_dist, "near": 0.5 * reward_near,
+                 "ctrl": 0.1 * reward_ctrl}
+        return obs, reward, terminated, aux2, comps
+
+
+class ThrowerTask(Task):
+    """Throw the free ball so it lands near the goal
+    [ref: …/envs/manipulation/thrower_env.py · ThrowerBulletEnv] —
+    Gym-Thrower-v2 contract; the ball is a free body launched by the arm
+    (authored thrower.xml asset, documented (L)):
+
+    * reward = reward_dist + 0.002·reward_ctrl where reward_dist is the
+      xy distance from the ball (or from where it first hit the ground,
+      z < -0.25, tracked in aux) to the goal
+    * reset: goal xy ~ U(-0.3, 0.3)^2
+    """
+
+    def __init__(self):
+        self.model = load_mjcf(asset_path("thrower.xml"))
+        m = self.model
+        pairs = (("geom15", "ball_geom"), ("geom16", "ball_geom"),
+                 ("geom17", "ball_geom"))
+        self.physics = PhysicsConfig(
+            timestep=0.0165, frame_skip=1, gravity=(0.0, 0.0, -9.8),
+            solver=SolverConfig(self_collision_pairs=pairs),
+        )
+        self.arm_dofs = [a.v_adr for a in m.actuators]
+        self.gains = [a.gear * a.ctrlrange[1] for a in m.actuators]
+        self.goal_x = m.dof_index("goal_slidey")
+        self.goal_y = m.dof_index("goal_slidex")
+        self.tips = m.frames["tips_arm"]
+        self.obj_frame = m.frames["object"]
+        self.goal_frame = m.frames["goal"]
+        self.obs_dim = 23
+        self.act_dim = 7
+        self.max_episode_steps = 100
+
+    def initial_state_scalar(self, seed, env_id, epoch):
+        m = self.model
+        like = (seed * 0).astype(jnp.int32).astype(jnp.float32)
+        q = [jnp.full_like(like, float(x)) for x in m.qpos0]
+        q[_qadr(m, self.goal_x)] = rand.uniform(seed, 0, env_id, epoch, -0.3, 0.3)
+        q[_qadr(m, self.goal_y)] = rand.uniform(seed, 1, env_id, epoch, -0.3, 0.3)
+        v = [
+            rand.uniform(seed, 10 + i, env_id, epoch, -0.005, 0.005)
+            for i in range(m.nv)
+        ]
+        for dof in (self.goal_x, self.goal_y):
+            v[dof] = jnp.zeros_like(like)
+        aux = {"hit": jnp.zeros_like(like),
+               "hit_x": jnp.zeros_like(like), "hit_y": jnp.zeros_like(like)}
+        return q, v, aux
+
+    def action_tau_scalar(self, a):
+        tau = [0.0] * self.model.nv
+        for i, dof in enumerate(self.arm_dofs):
+            tau[dof] = self.gains[i] * a[i]
+        return tau
+
+    def output_scalar(self, q, v, depths, a, aux, ids=None):
+        m = self.model
+        fk = dyn.forward_kinematics(m, q, v, with_inertia=False)
+
+        def world(frame):
+            host, pos, _ = frame
+            return sm.v3_add(
+                fk.p[host], sm.m3_vec(fk.R[host], tuple(float(x) for x in pos))
+            )
+
+        tips, obj, goal = world(self.tips), world(self.obj_frame), world(self.goal_frame)
+        obs = (
+            [q[_qadr(m, d)] for d in self.arm_dofs]
+            + [v[d] for d in self.arm_dofs]
+            + list(tips) + list(obj) + list(goal)
+        )
+        newly = (obj[2] < -0.25) & (aux["hit"] < 0.5)
+        hit = jnp.maximum(aux["hit"], newly.astype(jnp.float32))
+        hx = jnp.where(newly, obj[0], aux["hit_x"])
+        hy = jnp.where(newly, obj[1], aux["hit_y"])
+        bx = jnp.where(hit > 0.5, hx, obj[0])
+        by = jnp.where(hit > 0.5, hy, obj[1])
+        reward_dist = -jnp.sqrt(
+            (bx - goal[0]) ** 2 + (by - goal[1]) ** 2 + 1e-12
+        )
+        reward_ctrl = -sum(ai * ai for ai in a)
+        reward = reward_dist + 0.002 * reward_ctrl
+        terminated = jnp.zeros_like(reward, bool)
+        aux2 = {"hit": hit, "hit_x": hx, "hit_y": hy}
+        comps = {"dist": reward_dist, "ctrl": 0.002 * reward_ctrl}
+        return obs, reward, terminated, aux2, comps
+
+
 def _qadr(model, v_adr: int) -> int:
     for b in model.bodies:
         if b.v_adr == v_adr:

@@ -201,8 +201,11 @@ def make_train_step(task: Task, cfg: PPOConfig, step_fn=None):
 
 def train(env_id: str, batch_size: int, num_iterations: int,
           cfg: Optional[PPOConfig] = None, seed: int = 0, mesh=None,
-          backend: str = "xla", progress=None):
-    """Host-side training driver: jit once, loop train_step."""
+          backend: str = "xla", progress=None,
+          resume_from: Optional[str] = None):
+    """Host-side training driver: jit once, loop train_step.
+    `resume_from`: path of a TrainState checkpoint (utils.checkpoint.save)
+    to continue from instead of a fresh init."""
     import pybulletgym_tpu as pg
     from pybulletgym_tpu.parallel import mesh as pmesh
 
@@ -211,6 +214,10 @@ def train(env_id: str, batch_size: int, num_iterations: int,
     train_step = make_train_step(env.task, cfg, step_fn=env._step)
     ts = init_train_state(jax.random.PRNGKey(seed), env.observation_size,
                           env.action_size, cfg)
+    if resume_from is not None:
+        from pybulletgym_tpu.utils import checkpoint
+
+        ts = checkpoint.load(resume_from, ts)
     es = env.reset(seed=seed)
     if mesh is not None:
         es = pmesh.shard_env_state(es, mesh)
