@@ -51,7 +51,54 @@ def bench(env_id="HalfCheetahPyBulletEnv-v0", batch=4096, n_steps=200, iters=5):
     return best, backend
 
 
+def bench_ppo(env_id="AntPyBulletEnv-v0", batch=4096, iters=3):
+    """Config-4 shape: full PPO train step (rollout 32 + GAE + updates)."""
+    import jax.random as jr
+
+    from pybulletgym_tpu.parallel import ppo
+
+    cfg = ppo.PPOConfig(rollout_length=32, num_minibatches=8)
+    ts, es, _ = ppo.train(env_id, batch, 1, cfg=cfg, backend="pallas")
+    # timed iterations reuse the compiled step via train()'s loop; redo
+    # here to control timing exactly
+    import pybulletgym_tpu as pg
+
+    env = pg.make_batched(env_id, batch, backend="pallas", jit=False)
+    step_j = jax.jit(ppo.make_train_step(env.task, cfg, step_fn=env._step))
+    ts = ppo.init_train_state(jr.PRNGKey(0), env.observation_size,
+                              env.action_size, cfg)
+    es = env.reset(seed=0)
+    ts, es, m = step_j(ts, es)
+    jax.block_until_ready(m["loss"])
+    best = 0.0
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        ts, es, m = step_j(ts, es)
+        jax.block_until_ready(m["loss"])
+        dt = time.perf_counter() - t0
+        best = max(best, batch * cfg.rollout_length / dt)
+    return best
+
+
 def main():
+    if "--all" in sys.argv:
+        rows = []
+        for env_id in ["HalfCheetahPyBulletEnv-v0", "Walker2DPyBulletEnv-v0",
+                       "HopperPyBulletEnv-v0", "AntPyBulletEnv-v0",
+                       "HumanoidPyBulletEnv-v0"]:
+            v, backend = bench(env_id, batch=4096, n_steps=200, iters=3)
+            rows.append((env_id, v, backend))
+            print(f"{env_id}: {v:,.0f} env-steps/s ({backend})", flush=True)
+        v = bench_ppo()
+        rows.append(("AntPyBulletEnv-v0 full PPO loop", v, "pallas+xla"))
+        print(f"Ant PPO loop: {v:,.0f} env-steps/s", flush=True)
+        with open("BENCH.md", "w") as f:
+            f.write("# Benchmarks (1 TPU chip, 4096 envs)\n\n"
+                    "| Config | env-steps/s | path |\n|---|---|---|\n")
+            for name, v, backend in rows:
+                f.write(f"| {name} | {v:,.0f} | {backend} |\n")
+        return
+
     batch = 4096
     n_steps = 200
     if jax.default_backend() == "cpu":   # keep CI/dev runs quick

@@ -137,6 +137,7 @@ def _register_all() -> None:
     register("HalfCheetahMuJoCoEnv-v0", mjf.HalfCheetahMuJoCoTask, 1000, 4800.0)
     register("AntMuJoCoEnv-v0", mjf.AntMuJoCoTask, 1000, 6000.0)
     register("ReacherMuJoCoEnv-v0", mjf.ReacherMuJoCoTask, 1000, 18.0)
+    register("HumanoidMuJoCoEnv-v0", mjf.HumanoidMuJoCoTask, 1000, None)
 
 
 _register_all()

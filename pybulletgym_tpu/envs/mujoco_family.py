@@ -204,6 +204,40 @@ class AntMuJoCoTask(_MjBase):
         return obs, reward, terminated, {"x": x}, comps
 
 
+class HumanoidMuJoCoTask(_MjBase):
+    """[ref: …/mujoco/envs/locomotion/humanoid_env.py] — Gym-Humanoid-v2
+    contract: obs 376 = [qpos[2:](22), qvel(23), cinert(140), cvel(84),
+    qfrc_actuator(23), cfrc_ext(84)]; the cinert/cvel/qfrc/cfrc blocks are
+    zero (the reference's Bullet port cannot produce MuJoCo's
+    composite-inertia buffers either). reward = 5 + 1.25·vx − 0.1·Σa²
+    (impact cost 0); done unless 1.0 < z < 2.0."""
+
+    xml = "humanoid.xml"
+    obs_dim = 376
+    reset_noise = 0.01
+
+    def output_scalar(self, q, v, depths, a, aux, ids=None):
+        x = q[0]
+        vx = (x - aux["x"]) / self.physics.control_dt
+        quat = (q[3], q[4], q[5], q[6])
+        R = sm.m3_from_quat(quat)
+        lin_world = sm.m3_vec(R, (v[3], v[4], v[5]))
+        zero = 0.0 * x
+        v_mj = list(lin_world) + [v[0], v[1], v[2]] + list(v[6:])
+        obs = (
+            list(q[2:]) + v_mj
+            + [zero] * (140 + 84)          # cinert, cvel
+            + [zero] * 23                  # qfrc_actuator
+            + [zero] * 84                  # cfrc_ext
+        )
+        ctrl = 0.1 * sum(ai * ai for ai in a)
+        reward = 5.0 + 1.25 * vx - ctrl
+        z = q[2]
+        terminated = ~((z > 1.0) & (z < 2.0))
+        comps = {"alive": 5.0 + zero, "forward": 1.25 * vx, "ctrl_cost": -ctrl}
+        return obs, reward, terminated, {"x": x}, comps
+
+
 class ReacherMuJoCoTask(_MjBase):
     """[ref: …/mujoco/envs/manipulation/reacher_env.py] — Gym-Reacher-v2:
     obs 11 = [cos(th), sin(th), target_xy, qvel_arm, (fingertip-target)_xyz]

@@ -14,13 +14,19 @@ import pytest
 import pybulletgym_tpu as pg
 from pybulletgym_tpu.envs.base import make_env
 
-WEIGHTS = sorted(glob.glob(
-    os.path.join(os.path.dirname(__file__), "..", "examples", "weights", "*.npz")
-))
+WEIGHTS = sorted(
+    p for p in glob.glob(
+        os.path.join(os.path.dirname(__file__), "..", "examples", "weights", "*.npz")
+    )
+    if not p.endswith(".trainstate.npz")  # optimizer checkpoints, not policies
+)
 
-# env id -> minimum acceptable mean return (registry reward_threshold where
-# defined)
-MIN_RETURN = {"InvertedPendulumPyBulletEnv-v0": 950.0}
+# env id -> minimum acceptable mean return (conservative floors: the
+# pendulum ships solved; the hopper ships as a working gait demo)
+MIN_RETURN = {
+    "InvertedPendulumPyBulletEnv-v0": 950.0,
+    "HopperPyBulletEnv-v0": 1200.0,
+}
 
 
 def _policy(path):
