@@ -138,6 +138,9 @@ def _register_all() -> None:
     register("AntMuJoCoEnv-v0", mjf.AntMuJoCoTask, 1000, 6000.0)
     register("ReacherMuJoCoEnv-v0", mjf.ReacherMuJoCoTask, 1000, 18.0)
     register("HumanoidMuJoCoEnv-v0", mjf.HumanoidMuJoCoTask, 1000, None)
+    # our Pusher already implements the Gym-Pusher-v2 contract the
+    # reference's MuJoCo mirror targets; same task, Gym's 100-step horizon
+    register("PusherMuJoCoEnv-v0", manip.PusherTask, 100, 0.0)
 
 
 _register_all()

@@ -34,6 +34,10 @@ from pybulletgym_tpu.ops.step import PhysicsConfig, make_substep_scalar
 TILE = 1024            # envs per kernel program: 8 sublanes x 128 lanes
 _SUB, _LANE = 8, 128
 
+# Deep models (humanoid: nv=23, 41 contact rows) need more Mosaic stack
+# than the 16 MB scoped-vmem default; v5e has 128 MB VMEM per core.
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024)
+
 
 def _blocked(x, rows):
     """(rows, B) -> (rows, B//128, 128)."""
@@ -98,6 +102,7 @@ def make_pallas_physics_step(model: Model, cfg: PhysicsConfig, interpret: bool =
                 jax.ShapeDtypeStruct((R, B // _LANE, _LANE), q.dtype),
             ],
             interpret=interpret,
+            compiler_params=_COMPILER_PARAMS,
         )(qb, vb, taub)
         return (
             q2.reshape(nq, B),
@@ -268,6 +273,7 @@ def make_pallas_env_step(task, interpret: bool = False):
                        spec(1), spec(1), spec(1), spec(naux), spec(ncomp)],
             out_shape=out_shape,
             interpret=interpret,
+            compiler_params=_COMPILER_PARAMS,
         )(*ins)
         q2, v2, obs, rew, term, trunc, sc, ep, auxo, compso = outs
         return EnvState(
