@@ -23,7 +23,11 @@ class GymAdapter(gymnasium.Env):
     metadata = {"render_modes": ["rgb_array"]}
 
     def __init__(self, task, spec, render_mode: Optional[str] = None):
-        self._env = BatchedEnv(task, batch_size=1)
+        from pybulletgym_tpu.api.registry import make_batched
+
+        # route through the registry memo: repeated gym.make of the same id
+        # shares one compiled step
+        self._env = make_batched(spec.id, 1, backend="xla")
         self._spec = spec
         self._state = None
         self._seed = 0

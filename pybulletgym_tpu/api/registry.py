@@ -57,11 +57,21 @@ def make(id: str, **kwargs):
     return GymAdapter(_get_task(id), registry[id], **kwargs)
 
 
+_env_cache: Dict[tuple, object] = {}
+
+
 def make_batched(id: str, batch_size: int, **kwargs):
-    """Native batched env: the TPU-first interface."""
+    """Native batched env: the TPU-first interface.
+
+    Instances are memoized per (id, batch_size, options): BatchedEnv is
+    stateless (pure jitted fns), so sharing avoids re-tracing the env step
+    for every caller — jit caches key on function identity."""
     from pybulletgym_tpu.envs.base import BatchedEnv
 
-    return BatchedEnv(_get_task(id), batch_size, **kwargs)
+    key = (id, batch_size, tuple(sorted(kwargs.items())))
+    if key not in _env_cache:
+        _env_cache[key] = BatchedEnv(_get_task(id), batch_size, **kwargs)
+    return _env_cache[key]
 
 
 def make_task(id: str):

@@ -35,8 +35,8 @@ def test_different_seed_differs():
 def test_env_rng_streams_independent():
     """Per-env RNG: env i's reset draw differs from env j's (counter-based
     threefry keyed on (seed, env_id, epoch))."""
-    env = pg.make_batched("HopperPyBulletEnv-v0", 64, backend="xla")
+    env = pg.make_batched("HopperPyBulletEnv-v0", 256, backend="xla")
     s = env.reset(seed=9)
     q = np.asarray(s.q)
     qa = env.task.act_qadr[0]
-    assert len(np.unique(q[qa])) > 60  # essentially all distinct
+    assert len(np.unique(q[qa])) > 250  # essentially all distinct

@@ -8,7 +8,7 @@ import pytest
 import pybulletgym_tpu as pg
 from pybulletgym_tpu.api.registry import registry
 
-B = 4
+B = 2   # matches the golden fixtures' batch so compiled steps are shared
 N_STEPS = 5
 
 
@@ -36,7 +36,18 @@ def test_batched_rollout(env_id, rng):
     assert state.rewards, "reward components dict must be populated"
 
 
-@pytest.mark.parametrize("env_id", sorted(registry))
+# single-env adapter: representatives of each family (a per-env run would
+# recompile a B=1 step for all 22 envs for no extra coverage — the batched
+# test above already exercises every env's physics/contract)
+GYM_API_REPRESENTATIVES = [
+    "InvertedPendulumPyBulletEnv-v0",
+    "HopperPyBulletEnv-v0",
+    "ReacherPyBulletEnv-v0",
+    "HopperMuJoCoEnv-v0",
+]
+
+
+@pytest.mark.parametrize("env_id", GYM_API_REPRESENTATIVES)
 def test_single_env_gym_api(env_id, rng):
     env = pg.make(env_id)
     obs, info = env.reset(seed=7)

@@ -52,7 +52,7 @@ def _policy(path):
 def test_frozen_policy_return(path):
     env_id = os.path.basename(path)[:-4]
     act = _policy(path)
-    B = 4
+    B = 8
     env = pg.make_batched(env_id, B, backend="xla", jit=False)
     task = env.task
     _, step_fn = make_env(task)

@@ -55,11 +55,11 @@ def test_reward_decomposition():
 def test_progress_moves_toward_target():
     """Arm torqued toward target should accumulate positive progress on
     average across a batch (physics sanity for gravity-free scene)."""
-    env = pg.make_batched("ReacherPyBulletEnv-v0", 64, backend="xla")
+    env = pg.make_batched("ReacherPyBulletEnv-v0", B, backend="xla")
     s = env.reset(seed=3)
     rng = np.random.default_rng(1)
-    total = np.zeros(64)
+    total = np.zeros(B)
     for _ in range(30):
-        s = env.step(s, rng.uniform(-1, 1, (64, 2)).astype(np.float32))
+        s = env.step(s, rng.uniform(-1, 1, (B, 2)).astype(np.float32))
         total += np.asarray(s.rewards["progress"])
     assert np.isfinite(total).all()

@@ -32,7 +32,7 @@ def test_obs_layout_hopper():
 def test_reset_joint_perturbation_uniform():
     """Each actuated joint reset to qpos0 + uniform(-0.1, 0.1)
     [ref: WalkerBase.robot_specific_reset]."""
-    env = pg.make_batched("HopperPyBulletEnv-v0", 512, backend="xla")
+    env = pg.make_batched("HopperPyBulletEnv-v0", 256, backend="xla")
     task = env.task
     s = env.reset(seed=11)
     q = np.asarray(s.q)
