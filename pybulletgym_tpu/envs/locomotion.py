@@ -526,10 +526,22 @@ class HumanoidFlagrunHarderTask(HumanoidFlagrunTask):
 
 HUMANOID_FLAGRUN = dataclasses.replace(HUMANOID, name="humanoid_flagrun")
 
+# cube <-> robot contact pairs: the hurled cube must actually knock the
+# robot [ref: HumanoidFlagrunHarder — aggressive_cube]. The reference cube
+# is a small Bullet box; here a sphere proxy (r=0.06) against the torso,
+# head, and limbs (documented deviation).
+_CUBE_PAIRS = tuple(
+    ("cube_geom", g) for g in (
+        "torso1", "head", "uwaist", "lwaist", "butt",
+        "right_thigh1", "left_thigh1", "right_uarm1", "left_uarm1",
+    )
+)
+
 HUMANOID_FLAGRUN_HARDER = dataclasses.replace(
     HUMANOID,
     name="humanoid_flagrun_harder",
     xml="humanoid_cube.xml",
     cost_scale=4.25 / 4.0,   # electricity quartered [ref: FlagrunHarder]
     exclude_parts=("aggressive_cube",),
+    self_collision=_HUMANOID_SELF_PAIRS + _CUBE_PAIRS,
 )
