@@ -403,7 +403,7 @@ class HumanoidFlagrunTask(WalkerTask):
         seed, env_id, epoch = ids
         # unique counter per (episode, flag index): hash-combine epoch/count
         e2 = jnp.uint32(epoch) * jnp.uint32(2654435761) + (
-            count.astype(jnp.uint32) * jnp.uint32(_HASH)
+            count.astype(jnp.int32).astype(jnp.uint32) * jnp.uint32(_HASH)  # via i32: Mosaic lacks f32->u32
         )
         tx = rand.uniform(seed, _FLAG_STREAM, env_id, e2, -_FLAG_X, _FLAG_X)
         ty = rand.uniform(seed, _FLAG_STREAM + 1, env_id, e2, -_FLAG_Y, _FLAG_Y)
@@ -474,7 +474,7 @@ class HumanoidFlagrunHarderTask(HumanoidFlagrunTask):
 
         seed, env_id, epoch = ids
         e2 = jnp.uint32(epoch) * jnp.uint32(2654435761) + (
-            frame.astype(jnp.uint32) * jnp.uint32(_HASH)
+            frame.astype(jnp.int32).astype(jnp.uint32) * jnp.uint32(_HASH)  # via i32: Mosaic lacks f32->u32
         )
         angle = rand.uniform(seed, 110, env_id, e2, -3.14, 3.14)
         speed = rand.uniform(seed, 111, env_id, e2, 20.0, 30.0)
