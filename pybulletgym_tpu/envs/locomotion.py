@@ -460,6 +460,20 @@ class HumanoidFlagrunHarderTask(HumanoidFlagrunTask):
         # reference pins initial_z to 0.8 [ref: FlagrunHarder
         # robot_specific_reset — self.initial_z = 0.8]
         aux["initial_z"] = jnp.full_like(like, 0.8)
+
+        # half the episodes start lying down and must get up
+        # [ref: HumanoidFlagrunHarder — random on-ground initial pose]:
+        # root pitched ±90° about y at z = 0.3
+        lying = rand.uniform(seed, 120, env_id, epoch) < 0.5
+        sign = jnp.where(
+            rand.uniform(seed, 121, env_id, epoch) < 0.5, 1.0, -1.0
+        )
+        c = float(np.cos(np.pi / 4.0))
+        root = self.model.bodies[self.base_body].q_adr
+        q = list(q)
+        q[root + 2] = jnp.where(lying, 0.3, q[root + 2])          # z
+        q[root + 3] = jnp.where(lying, c, q[root + 3])            # w
+        q[root + 5] = jnp.where(lying, sign * c, q[root + 5])     # qy
         return q, v, aux
 
     def pre_physics_scalar(self, q, v, aux, ids=None):
