@@ -255,6 +255,9 @@ class _RawBody:
         self.geoms: List[_RawGeom] = []
         self.sites: List[Tuple[str, np.ndarray, np.ndarray]] = []
         self.children: List["_RawBody"] = []
+        # explicit (mass, com, inertia-about-com) overriding geom-derived
+        # mass props — used by the URDF importer's <inertial> elements
+        self.inertial = None
 
 
 def _parse_body(elem: ET.Element, defaults, deg2rad, counter) -> _RawBody:
@@ -445,9 +448,13 @@ def _build(
         body_pos = off_pos + _nq_rot(off_quat, raw.pos)
         body_quat = _nq_mul(off_quat, raw.quat)
 
-        mass, com, inertia = (
-            _body_mass_props(raw) if inertiafromgeom != "false" else (0.0, np.zeros(3), np.zeros((3, 3)))
-        )
+        if raw.inertial is not None:
+            mass, com, inertia = raw.inertial
+        else:
+            mass, com, inertia = (
+                _body_mass_props(raw) if inertiafromgeom != "false"
+                else (0.0, np.zeros(3), np.zeros((3, 3)))
+            )
 
         if raw.joints:
             jlist = raw.joints
