@@ -21,6 +21,7 @@ def main():
     ap.add_argument("--batch", type=int, default=4096)
     ap.add_argument("--backend", default="pallas")
     ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument("--entropy", type=float, default=0.0)
     args = ap.parse_args()
 
     from pybulletgym_tpu.parallel import ppo
@@ -29,7 +30,7 @@ def main():
     ck = os.path.join(os.path.dirname(__file__), "weights",
                       args.env_id + ".trainstate.npz")
     cfg = ppo.PPOConfig(rollout_length=32, learning_rate=args.lr,
-                        num_minibatches=8)
+                        num_minibatches=8, entropy_coef=args.entropy)
     t0 = time.time()
 
     def progress(it, m):
