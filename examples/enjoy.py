@@ -25,9 +25,14 @@ class SmallReactivePolicy:
         n = int(d["n_layers"])
         self.weights = [d[f"w{i}"] for i in range(n)]
         self.biases = [d[f"b{i}"] for i in range(n)]
+        self.norm = None
+        if "normalized" in d and bool(d["normalized"]):
+            self.norm = (d["obs_mean"], np.sqrt(d["obs_var"] + 1e-8))
 
     def act(self, obs):
         h = obs
+        if self.norm is not None:
+            h = np.clip((h - self.norm[0]) / self.norm[1], -10, 10)
         for i, (w, b) in enumerate(zip(self.weights, self.biases)):
             h = h @ w + b
             if i < len(self.weights) - 1:

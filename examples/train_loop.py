@@ -22,6 +22,8 @@ def main():
     ap.add_argument("--backend", default="pallas")
     ap.add_argument("--lr", type=float, default=3e-4)
     ap.add_argument("--entropy", type=float, default=0.0)
+    ap.add_argument("--normalize", action="store_true",
+                    help="running observation normalization")
     args = ap.parse_args()
 
     from pybulletgym_tpu.parallel import ppo
@@ -30,7 +32,8 @@ def main():
     ck = os.path.join(os.path.dirname(__file__), "weights",
                       args.env_id + ".trainstate.npz")
     cfg = ppo.PPOConfig(rollout_length=32, learning_rate=args.lr,
-                        num_minibatches=8, entropy_coef=args.entropy)
+                        num_minibatches=8, entropy_coef=args.entropy,
+                        normalize_obs=args.normalize)
     t0 = time.time()
 
     def progress(it, m):
@@ -42,9 +45,16 @@ def main():
 
     resume = ck if os.path.exists(ck) else None
     print("resuming from" if resume else "fresh start", resume or "", flush=True)
-    ts, es, m = ppo.train(args.env_id, args.batch, args.iters, cfg=cfg,
-                          backend=args.backend, progress=progress,
-                          resume_from=resume)
+    try:
+        ts, es, m = ppo.train(args.env_id, args.batch, args.iters, cfg=cfg,
+                              backend=args.backend, progress=progress,
+                              resume_from=resume)
+    except ValueError as e:
+        if resume is None:
+            raise
+        print(f"checkpoint incompatible ({e}); starting fresh", flush=True)
+        ts, es, m = ppo.train(args.env_id, args.batch, args.iters, cfg=cfg,
+                              backend=args.backend, progress=progress)
     os.makedirs(os.path.dirname(ck), exist_ok=True)
     checkpoint.save(ck, ts)
 
@@ -57,6 +67,9 @@ def main():
         **{f"b{i}": np.asarray(b) for i, b in enumerate(p.policy.biases)},
         **{f"vw{i}": np.asarray(w) for i, w in enumerate(p.value.weights)},
         **{f"vb{i}": np.asarray(b) for i, b in enumerate(p.value.biases)},
+        obs_mean=np.asarray(ts.obs_stats.mean),
+        obs_var=np.asarray(ts.obs_stats.var),
+        normalized=bool(args.normalize),
     )
     print("saved", out, "and", ck, flush=True)
 

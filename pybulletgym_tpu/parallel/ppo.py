@@ -41,6 +41,33 @@ class PPOConfig:
     learning_rate: float = 3e-4
     max_grad_norm: float = 0.5
     hidden: Tuple[int, ...] = (64, 64)
+    normalize_obs: bool = False
+
+
+class ObsStats(NamedTuple):
+    """Running observation statistics (parallel Welford over env shards:
+    every reduction is a jnp mean/sum, so XLA inserts the cross-shard
+    collectives under jit exactly like the gradient psum)."""
+
+    mean: jax.Array   # (obs_dim,)
+    var: jax.Array    # (obs_dim,)
+    count: jax.Array  # ()
+
+    def normalize(self, obs):
+        return jnp.clip(
+            (obs - self.mean) / jnp.sqrt(self.var + 1e-8), -10.0, 10.0
+        )
+
+    def update(self, obs2d):
+        """Fold a (N, obs_dim) batch of observations."""
+        n = jnp.float32(obs2d.shape[0])
+        bm = obs2d.mean(0)
+        bv = obs2d.var(0)
+        tot = self.count + n
+        delta = bm - self.mean
+        mean = self.mean + delta * (n / tot)
+        m2 = self.var * self.count + bv * n + delta ** 2 * self.count * n / tot
+        return ObsStats(mean, m2 / tot, tot)
 
 
 class TrainState(NamedTuple):
@@ -49,6 +76,7 @@ class TrainState(NamedTuple):
     opt_v: nets.ACParams       # Adam second moment
     opt_count: jax.Array
     key: jax.Array
+    obs_stats: ObsStats
 
 
 class Transition(NamedTuple):
@@ -65,7 +93,9 @@ def init_train_state(key, obs_dim: int, act_dim: int, cfg: PPOConfig) -> TrainSt
     kp, kr = jax.random.split(key)
     params = nets.init_actor_critic(kp, obs_dim, act_dim, cfg.hidden)
     zeros = jax.tree.map(jnp.zeros_like, params)
-    return TrainState(params, zeros, zeros, jnp.zeros((), jnp.int32), kr)
+    stats = ObsStats(jnp.zeros((obs_dim,)), jnp.ones((obs_dim,)),
+                     jnp.zeros(()))
+    return TrainState(params, zeros, zeros, jnp.zeros((), jnp.int32), kr, stats)
 
 
 def _adam(params, grads, m, v, count, lr, b1=0.9, b2=0.999, eps=1e-8, max_norm=0.5):
@@ -97,10 +127,10 @@ def make_train_step(task: Task, cfg: PPOConfig, step_fn=None):
     if step_fn is None:
         _, step_fn = make_env(task)
 
-    def rollout(params, es: EnvState, key):
+    def rollout(params, norm, es: EnvState, key):
         def body(carry, k):
             es = carry
-            obs = es.obs.T  # (B, obs_dim)
+            obs = norm(es.obs.T)  # (B, obs_dim)
             a, logp = nets.policy_sample(params, obs, k)
             val = nets.value_apply(params, obs)
             a_clip = jnp.clip(a, -1.0, 1.0)
@@ -111,11 +141,12 @@ def make_train_step(task: Task, cfg: PPOConfig, step_fn=None):
                 done=(es2.terminated | es2.truncated).astype(jnp.float32),
                 truncated=es2.truncated.astype(jnp.float32),
             )
-            return es2, t
+            # raw obs come back separately: stats must fold UNnormalized data
+            return es2, (t, es.obs.T)
 
         keys = jax.random.split(key, cfg.rollout_length)
-        es, traj = jax.lax.scan(body, es, keys)
-        return es, traj
+        es, (traj, raw_obs) = jax.lax.scan(body, es, keys)
+        return es, traj, raw_obs
 
     def gae(traj: Transition, last_value):
         def body(carry, t):
@@ -145,9 +176,14 @@ def make_train_step(task: Task, cfg: PPOConfig, step_fn=None):
 
     def train_step(ts: TrainState, es: EnvState):
         key, k_roll, k_perm = jax.random.split(ts.key, 3)
-        es, traj = rollout(ts.params, es, k_roll)
-        last_value = nets.value_apply(ts.params, es.obs.T)
+        norm = ts.obs_stats.normalize if cfg.normalize_obs else (lambda x: x)
+        es, traj, raw_obs = rollout(ts.params, norm, es, k_roll)
+        last_value = nets.value_apply(ts.params, norm(es.obs.T))
         advs, returns = gae(traj, last_value)
+        obs_stats = (
+            ts.obs_stats.update(raw_obs.reshape(-1, raw_obs.shape[-1]))
+            if cfg.normalize_obs else ts.obs_stats
+        )
 
         # (T, B, ...) -> minibatches as contiguous env-axis slices: stays
         # local to each mesh shard until the gradient all-reduce.
@@ -194,7 +230,7 @@ def make_train_step(task: Task, cfg: PPOConfig, step_fn=None):
             "done_frac": traj.done.mean(),
             "value_mean": traj.value.mean(),
         }
-        return TrainState(params, m, v, count, key), es, metrics
+        return TrainState(params, m, v, count, key, obs_stats), es, metrics
 
     return train_step
 

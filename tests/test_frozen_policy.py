@@ -37,9 +37,15 @@ def _policy(path):
     n = int(d["n_layers"])
     ws = [jnp.asarray(d[f"w{i}"]) for i in range(n)]
     bs = [jnp.asarray(d[f"b{i}"]) for i in range(n)]
+    norm = None
+    if "normalized" in d and bool(d["normalized"]):
+        norm = (jnp.asarray(d["obs_mean"]),
+                jnp.sqrt(jnp.asarray(d["obs_var"]) + 1e-8))
 
     def act(obs):  # obs (B, obs_dim)
         h = obs
+        if norm is not None:
+            h = jnp.clip((h - norm[0]) / norm[1], -10.0, 10.0)
         for i, (w, b) in enumerate(zip(ws, bs)):
             h = h @ w + b
             if i < n - 1:
