@@ -25,7 +25,7 @@ WEIGHTS = sorted(
 # pendulum ships solved; the hopper ships as a working gait demo)
 MIN_RETURN = {
     "InvertedPendulumPyBulletEnv-v0": 950.0,
-    "HopperPyBulletEnv-v0": 1200.0,
+    "HopperPyBulletEnv-v0": 2000.0,
     "AntPyBulletEnv-v0": 800.0,
     "Walker2DPyBulletEnv-v0": 400.0,
     "HalfCheetahPyBulletEnv-v0": 1000.0,
