@@ -26,7 +26,7 @@ WEIGHTS = sorted(
 MIN_RETURN = {
     "InvertedPendulumPyBulletEnv-v0": 950.0,
     "HopperPyBulletEnv-v0": 2000.0,
-    "AntPyBulletEnv-v0": 800.0,
+    "AntPyBulletEnv-v0": 2000.0,
     "Walker2DPyBulletEnv-v0": 400.0,
     "HalfCheetahPyBulletEnv-v0": 1000.0,
 }
