@@ -146,7 +146,10 @@ def _register_all() -> None:
     register("Walker2DMuJoCoEnv-v0", mjf.Walker2DMuJoCoTask, 1000, None)
     register("HalfCheetahMuJoCoEnv-v0", mjf.HalfCheetahMuJoCoTask, 1000, 4800.0)
     register("AntMuJoCoEnv-v0", mjf.AntMuJoCoTask, 1000, 6000.0)
-    register("ReacherMuJoCoEnv-v0", mjf.ReacherMuJoCoTask, 1000, 18.0)
+    # 150 steps like ReacherPyBulletEnv-v0: threshold 18.0 is calibrated
+    # to a 150-step episode (ADVICE r1; upstream registers its Reacher
+    # mirror at 150 too)
+    register("ReacherMuJoCoEnv-v0", mjf.ReacherMuJoCoTask, 150, 18.0)
     register("HumanoidMuJoCoEnv-v0", mjf.HumanoidMuJoCoTask, 1000, None)
     # our Pusher already implements the Gym-Pusher-v2 contract the
     # reference's MuJoCo mirror targets; same task, Gym's 100-step horizon

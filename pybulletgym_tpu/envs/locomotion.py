@@ -48,6 +48,10 @@ class WalkerSpec:
     foot_geoms: Tuple[str, ...]         # geom names, reference foot_list order
     coef_overrides: Dict[str, float] = dataclasses.field(default_factory=dict)
     cost_scale: float = 1.0             # Humanoid: 4.25
+    # stall-torque cost scale; None = same as cost_scale. FlagrunHarder
+    # quarters ONLY the electricity term (`electricity_cost /= 4` in the
+    # reference), leaving stall torque at the humanoid 4.25 (ADVICE r1)
+    stall_scale: Optional[float] = None
     max_episode_steps: int = 1000
     self_collision: Tuple[Tuple[str, str], ...] = ()
     # bodies excluded from the reference `parts` mean (non-robot bodies,
@@ -235,10 +239,15 @@ class WalkerTask(Task):
         potential = -dist / self.physics.control_dt
         progress = potential - aux["potential"]
         n = float(self.act_dim)
-        electricity = self.spec.cost_scale * (
-            self.electricity_cost
+        stall_scale = (
+            self.spec.cost_scale if self.spec.stall_scale is None
+            else self.spec.stall_scale
+        )
+        electricity = (
+            self.spec.cost_scale * self.electricity_cost
             * sum(jnp.abs(ai * si) for ai, si in zip(a, jspeed)) / n
-            + self.stall_torque_cost * sum(ai * ai for ai in a) / n
+            + stall_scale * self.stall_torque_cost
+            * sum(ai * ai for ai in a) / n
         )
         limit_cost = self.joints_at_limit_cost * joints_at_limit
         feet_collision = jnp.zeros_like(alive)  # stadium ground only
@@ -494,8 +503,19 @@ class HumanoidFlagrunHarderTask(HumanoidFlagrunTask):
         speed = rand.uniform(seed, 111, env_id, e2, 20.0, 30.0)
         from_dist = 4.0
 
-        # torso position ~ root free-joint translation (q[0:3])
-        txyz = (q[0], q[1], q[2])
+        # torso position ~ root free-joint translation (q[0:3]), led by the
+        # robot's current velocity over the cube's travel time [ref:
+        # HumanoidFlagrunHarder — target_xyz += robot_speed*time_to_travel].
+        # Root free-joint dofs are [ang_body(3), lin_body(3)]; rotate the
+        # body-frame linear velocity into world by the root quaternion.
+        root_quat = (q[3], q[4], q[5], q[6])
+        vel_world = sm.quat_rotate(root_quat, (v[3], v[4], v[5]))
+        lead = from_dist / speed
+        txyz = (
+            q[0] + vel_world[0] * lead,
+            q[1] + vel_world[1] * lead,
+            q[2] + vel_world[2] * lead,
+        )
         px = txyz[0] + from_dist * jnp.cos(angle)
         py = txyz[1] + from_dist * jnp.sin(angle)
         pz = txyz[2] + 1.0
@@ -556,6 +576,7 @@ HUMANOID_FLAGRUN_HARDER = dataclasses.replace(
     name="humanoid_flagrun_harder",
     xml="humanoid_cube.xml",
     cost_scale=4.25 / 4.0,   # electricity quartered [ref: FlagrunHarder]
+    stall_scale=4.25,        # stall torque stays at full humanoid scale
     exclude_parts=("aggressive_cube",),
     self_collision=_HUMANOID_SELF_PAIRS + _CUBE_PAIRS,
 )

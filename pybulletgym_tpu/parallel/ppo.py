@@ -42,6 +42,9 @@ class PPOConfig:
     max_grad_norm: float = 0.5
     hidden: Tuple[int, ...] = (64, 64)
     normalize_obs: bool = False
+    # 0 = constant lr; otherwise linear anneal to 0 over this many Adam
+    # updates (= iters * num_epochs * num_minibatches)
+    total_updates: int = 0
 
 
 class ObsStats(NamedTuple):
@@ -149,13 +152,31 @@ def make_train_step(task: Task, cfg: PPOConfig, step_fn=None):
         return es, traj, raw_obs
 
     def gae(traj: Transition, last_value):
-        def body(carry, t):
-            adv_next, v_next, nonterm_next = carry
-            delta = t.reward + cfg.discount * v_next * nonterm_next - t.value
-            adv = delta + cfg.discount * cfg.gae_lambda * nonterm_next * adv_next
-            return (adv, t.value, 1.0 - t.done), adv
+        """GAE under next-step auto-reset semantics (envs.base step_fn
+        resets at the START of the following step), so traj.obs[t+1] at an
+        episode boundary IS the terminal observation and traj.value[t+1]
+        is V(terminal obs). Hence:
 
-        init = (jnp.zeros_like(last_value), last_value, jnp.ones_like(last_value))
+          delta_t = r_t + gamma * V(s_{t+1}) * (1 - terminated_t) - V(s_t)
+
+        bootstraps truncated-but-not-terminated episodes from the critic's
+        value of the final observation for free, while terminated ones get
+        the correct 0 bootstrap; the advantage recursion is cut at every
+        boundary with THIS step's done flag (the previous version applied
+        the next step's flag — an off-by-one that leaked advantage chains
+        across episode boundaries and bootstrapped through terminations).
+        """
+
+        def body(carry, t):
+            adv_next, v_next = carry
+            terminated = t.done - t.truncated  # step_fn keeps these disjoint
+            delta = (
+                t.reward + cfg.discount * v_next * (1.0 - terminated) - t.value
+            )
+            adv = delta + cfg.discount * cfg.gae_lambda * (1.0 - t.done) * adv_next
+            return (adv, t.value), adv
+
+        init = (jnp.zeros_like(last_value), last_value)
         _, advs = jax.lax.scan(body, init, traj, reverse=True)
         returns = advs + traj.value
         return advs, returns
@@ -209,9 +230,13 @@ def make_train_step(task: Task, cfg: PPOConfig, step_fn=None):
                 (loss, aux), grads = grad_fn(
                     params, batch, sl(advs).reshape(-1), sl(returns).reshape(-1)
                 )
+                lr = cfg.learning_rate
+                if cfg.total_updates:
+                    frac = 1.0 - count.astype(jnp.float32) / cfg.total_updates
+                    lr = lr * jnp.maximum(frac, 0.0)
                 params, m, v, count = _adam(
                     params, grads, m, v, count,
-                    cfg.learning_rate, max_norm=cfg.max_grad_norm,
+                    lr, max_norm=cfg.max_grad_norm,
                 )
                 return (params, m, v, count), loss
 

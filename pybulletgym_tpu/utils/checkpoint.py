@@ -38,11 +38,24 @@ def load(path: str, like: Any) -> Any:
     data = np.load(path)
     leaves_like, treedef = jax.tree.flatten(like)
     n = len(leaves_like)
-    saved = [data[f"leaf_{i}"] for i in range(n)]
+    missing = [i for i in range(n) if f"leaf_{i}" not in data]
+    if missing:
+        raise ValueError(
+            f"checkpoint has fewer leaves than the template "
+            f"(missing leaf_{missing[0]} of {n}) ({path})"
+        )
     if f"leaf_{n}" in data:
         raise ValueError(
             f"checkpoint has more leaves than the template ({path})"
         )
+    if "__treedef__" in data:
+        saved_td = bytes(data["__treedef__"]).decode()
+        if saved_td != str(treedef):
+            raise ValueError(
+                f"checkpoint tree structure differs from the template "
+                f"({path}): saved {saved_td[:120]}... != {str(treedef)[:120]}..."
+            )
+    saved = [data[f"leaf_{i}"] for i in range(n)]
     out = []
     for i, (s, l) in enumerate(zip(saved, leaves_like)):
         if tuple(s.shape) != tuple(np.shape(l)):
