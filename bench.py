@@ -7,8 +7,16 @@ the reference publishes no numbers of its own — BASELINE.md).
 """
 
 import json
+import os
 import sys
 import time
+
+if "--scaling" in sys.argv:
+    # the virtual-mesh curve needs 8 CPU devices; must be set pre-import
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=8"
+    )
 
 import jax
 import jax.numpy as jnp
@@ -80,7 +88,89 @@ def bench_ppo(env_id="AntPyBulletEnv-v0", batch=4096, iters=3):
     return best
 
 
+def bench_sharded(env_id, total_batch, n_devices, n_steps=50, iters=3):
+    """Sharded XLA-path throughput over an n-device ('env',) mesh."""
+    import pybulletgym_tpu as pg
+    from pybulletgym_tpu.parallel import mesh as pmesh
+
+    devs = jax.devices("cpu")[:n_devices]
+    mesh = pmesh.make_mesh(devices=devs)
+    env = pg.make_batched(env_id, total_batch, backend="xla", jit=False)
+    step = env._step
+    key = jax.random.PRNGKey(0)
+    actions = jax.random.uniform(
+        key, (n_steps, env.action_size, total_batch), jnp.float32, -1.0, 1.0
+    )
+
+    @jax.jit
+    def rollout(state, actions):
+        def body(s, a):
+            return step(s, a), ()
+
+        s, _ = jax.lax.scan(body, state, actions)
+        return s
+
+    state = pmesh.shard_env_state(env.reset(seed=0), mesh)
+    state = rollout(state, actions)
+    jax.block_until_ready(state.q)
+    best = 0.0
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        state = rollout(state, actions)
+        jax.block_until_ready(state.q)
+        best = max(best, total_batch * n_steps / (time.perf_counter() - t0))
+    return best
+
+
+def bench_scaling():
+    """Scaling evidence (BASELINE.md '>=85% 1 host -> N hosts' proxy):
+
+    (a) per-chip capacity curve — HalfCheetah pallas at 4096/8192/16384
+        envs (true TPU measurement; near-flat steps/s/env = the env axis
+        scales, so adding chips multiplies throughput);
+    (b) virtual-mesh curve — Hopper XLA path sharded over 1/2/4/8 CPU
+        devices at fixed total batch. This machine has ONE physical core,
+        so wall-clock cannot improve with device count; the curve verifies
+        the sharded program COMPILES AND RUNS at every mesh size and
+        measures the sharding overhead, not parallel speedup.
+    """
+    rows = []
+    on_accel = jax.default_backend() not in ("cpu",)
+    if on_accel:
+        for batch in (4096, 8192, 16384):
+            v, backend = bench(batch=batch, n_steps=100, iters=3)
+            rows.append((f"halfcheetah capacity {batch} envs ({backend})", v,
+                         v / batch))
+            print(f"capacity {batch}: {v:,.0f} steps/s "
+                  f"({v / batch:,.1f} per env)", flush=True)
+    for nd in (1, 2, 4, 8):
+        v = bench_sharded("HopperPyBulletEnv-v0", 512, nd, n_steps=20)
+        rows.append((f"hopper sharded {nd} virtual cpu devs", v, v / 512))
+        print(f"virtual mesh {nd} devs: {v:,.0f} steps/s", flush=True)
+    with open("BENCH_SCALING.md", "w") as f:
+        f.write(
+            "# Scaling evidence\n\n"
+            "Per-chip capacity (real TPU): near-flat steps/s/env across the\n"
+            "batch sweep means the env axis is compute-bound and scales;\n"
+            "multi-chip throughput = per-chip x N (stepping is embarrassingly\n"
+            "parallel; the PPO learner all-reduce is the only cross-chip\n"
+            "traffic — see MULTICHIP dryrun + tests/test_sharding.py).\n\n"
+            "Virtual-mesh rows run 1/2/4/8 XLA devices on ONE physical CPU\n"
+            "core: they verify the sharded program at every mesh size and\n"
+            "bound the sharding overhead; wall-clock speedup is impossible\n"
+            "on one core (BASELINE.md multi-host efficiency needs real\n"
+            "hardware the sandbox lacks).\n\n"
+            "| config | env-steps/s | steps/s/env |\n|---|---|---|\n"
+        )
+        for name, v, pe in rows:
+            f.write(f"| {name} | {v:,.0f} | {pe:,.2f} |\n")
+    print("wrote BENCH_SCALING.md", flush=True)
+
+
 def main():
+    if "--scaling" in sys.argv:
+        bench_scaling()
+        return
     if "--all" in sys.argv:
         rows = []
         for env_id in ["HalfCheetahPyBulletEnv-v0", "Walker2DPyBulletEnv-v0",

@@ -28,6 +28,7 @@ class SmallReactivePolicy:
         self.norm = None
         if "normalized" in d and bool(d["normalized"]):
             self.norm = (d["obs_mean"], np.sqrt(d["obs_var"] + 1e-8))
+        self.squash = "squash" in d and bool(d["squash"])  # SAC tanh head
 
     def act(self, obs):
         h = obs
@@ -37,7 +38,7 @@ class SmallReactivePolicy:
             h = h @ w + b
             if i < len(self.weights) - 1:
                 h = np.tanh(h)
-        return np.clip(h, -1.0, 1.0)
+        return np.tanh(h) if self.squash else np.clip(h, -1.0, 1.0)
 
 
 def main():

@@ -128,6 +128,10 @@ def _register_all() -> None:
         "HumanoidFlagrunHarderPyBulletEnv-v0",
         loco.HumanoidFlagrunHarderTask, 1000, None,
     )
+    register(
+        "AtlasPyBulletEnv-v0",
+        lambda: loco.WalkerTask(loco.ATLAS), 1000, None,
+    )
     from pybulletgym_tpu.envs import manipulation as manip
 
     register("ReacherPyBulletEnv-v0", manip.ReacherTask, 150, 18.0)

@@ -57,6 +57,10 @@ class WalkerSpec:
     # bodies excluded from the reference `parts` mean (non-robot bodies,
     # e.g. the FlagrunHarder cube lives in a separate Bullet body there)
     exclude_parts: Tuple[str, ...] = ()
+    # robot_body link (MJCF walkers: "torso"; Atlas URDF: "pelvis")
+    base_body_name: str = "torso"
+    # URDF models: spawn height of the root link (loadURDF basePosition)
+    root_height: float = 0.0
 
 
 class WalkerTask(Task):
@@ -67,7 +71,33 @@ class WalkerTask(Task):
 
     def __init__(self, spec: WalkerSpec, model: Optional[Model] = None):
         self.spec = spec
-        self.model = model if model is not None else load_mjcf(asset_path(spec.xml))
+        if model is not None:
+            self.model = model
+        elif spec.xml.endswith(".urdf"):
+            from pybulletgym_tpu.models.urdf import load_urdf
+
+            self.model = load_urdf(
+                asset_path(spec.xml), root_free=True,
+                root_pos=(0.0, 0.0, spec.root_height),
+            )
+        else:
+            self.model = load_mjcf(asset_path(spec.xml))
+        # URDF files carry no world geometry; give them the stadium ground
+        # the reference loads separately via loadSDF (analytic half-space,
+        # friction 0.8 [ref: scene_stadium.py · StadiumScene])
+        from pybulletgym_tpu.models.schema import Geom, GeomType
+
+        if not any(
+            g.gtype == GeomType.PLANE and g.body == -1
+            for g in self.model.geoms
+        ):
+            floor = Geom(
+                "floor", -1, GeomType.PLANE, np.zeros(3), np.zeros(3),
+                np.array([1.0, 0.0, 0.0, 0.0]), 0.8, 1, 1,
+            )
+            self.model = dataclasses.replace(
+                self.model, geoms=self.model.geoms + (floor,)
+            )
         m = self.model
         solver = SolverConfig(self_collision_pairs=spec.self_collision)
         # Walker timing [ref: scene_bases.py · SinglePlayerStadiumScene]:
@@ -106,7 +136,7 @@ class WalkerTask(Task):
             if not rows:
                 raise ValueError(f"{spec.name}: foot geom {fg!r} has no contact rows")
 
-        self.base_body = m.body_index("torso")
+        self.base_body = m.body_index(spec.base_body_name)
         # original MJCF frames for the mean-parts xyz (reference `parts`)
         self.part_frames = tuple(
             (host, np.asarray(pos), np.asarray(quat))
@@ -556,6 +586,23 @@ class HumanoidFlagrunHarderTask(HumanoidFlagrunTask):
         aux["ground_counter"] = counter
         aux["frame"] = aux["frame"] + 1.0
         return alive, aux
+
+
+# Atlas [ref: SURVEY §2.4 row AtlasPyBulletEnv-v0 — URDF robot, 1000
+# steps]. The asset is an authored stand-in (tools/gen_atlas_urdf.py):
+# the real atlas_v4 URDF is absent offline. Deviations (PARITY.md):
+# power=1.0 with gear = URDF <limit effort> (torque saturates at the
+# joint's rated effort), humanoid-style alive bonus on the pelvis.
+ATLAS = WalkerSpec(
+    name="atlas",
+    xml="atlas.urdf",
+    power=1.0,
+    alive_mode="humanoid",
+    foot_geoms=("r_foot_box", "l_foot_box"),
+    cost_scale=4.25,
+    base_body_name="pelvis",
+    root_height=0.95,
+)
 
 
 HUMANOID_FLAGRUN = dataclasses.replace(HUMANOID, name="humanoid_flagrun")

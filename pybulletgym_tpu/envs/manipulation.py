@@ -1,4 +1,4 @@
-"""Manipulation tasks: Reacher (Pusher/Striker/Thrower in later rounds).
+"""Manipulation tasks: Reacher, Pusher, Striker, Thrower.
 
 Reacher contract [ref: …/robots/manipulators/reacher.py · Reacher,
 …/envs/manipulation/reacher_env.py · ReacherBulletEnv]:

@@ -104,9 +104,12 @@ _JOINT_MAP = {"revolute": "hinge", "continuous": "hinge",
 
 
 def parse_urdf(xml_string: str, name: Optional[str] = None,
-               root_free: bool = False) -> Model:
+               root_free: bool = False,
+               root_pos=(0.0, 0.0, 0.0)) -> Model:
     """Build a Model from URDF text. `root_free=True` mounts the root link
-    on a free joint (Bullet's useFixedBase=False default for loadURDF)."""
+    on a free joint (Bullet's useFixedBase=False default for loadURDF);
+    `root_pos` is the spawn position of the root link (the reference passes
+    basePosition to p.loadURDF [ref: robot_bases.py · URDFBasedRobot.reset])."""
     robot = ET.fromstring(xml_string)
     if robot.tag != "robot":
         raise ValueError("not a URDF <robot> document")
@@ -186,7 +189,8 @@ def parse_urdf(xml_string: str, name: Optional[str] = None,
 
     world = _RawBody("world", np.zeros(3), np.array([1.0, 0, 0, 0]))
     world.children.append(
-        make_body(roots[0], np.zeros(3), np.array([1.0, 0, 0, 0]), None)
+        make_body(roots[0], np.asarray(root_pos, float),
+                  np.array([1.0, 0, 0, 0]), None)
     )
 
     return _build(
@@ -196,10 +200,12 @@ def parse_urdf(xml_string: str, name: Optional[str] = None,
     )
 
 
-def load_urdf(path: str, root_free: bool = False) -> Model:
+def load_urdf(path: str, root_free: bool = False,
+              root_pos=(0.0, 0.0, 0.0)) -> Model:
     with open(path) as f:
         return parse_urdf(
             f.read(),
             name=os.path.splitext(os.path.basename(path))[0],
             root_free=root_free,
+            root_pos=root_pos,
         )

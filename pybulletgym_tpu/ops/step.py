@@ -42,6 +42,11 @@ class PhysicsConfig:
     frame_skip: int = 4
     gravity: Tuple[float, float, float] = (0.0, 0.0, -9.8)
     solver: ct.SolverConfig = dataclasses.field(default_factory=ct.SolverConfig)
+    # Bullet clamps every multibody dof velocity to
+    # btMultiBody::m_maxCoordinateVelocity = 100 (rad/s or m/s) each step;
+    # without it an undamped pendulum spun up by random torque accelerates
+    # until float32 absorption freezes the trajectory entirely.
+    max_velocity: float = 100.0
 
     @property
     def control_dt(self) -> float:
@@ -135,6 +140,7 @@ def make_substep(model: Model, cfg: PhysicsConfig):
                 )
         else:
             v3, vp = v2, jnp.zeros_like(v2)
+        v3 = jnp.clip(v3, -cfg.max_velocity, cfg.max_velocity)
 
         # split impulse: pseudo-velocities only enter the position integral
         with jax.named_scope("integrate"):
@@ -220,6 +226,10 @@ def make_substep_scalar(model: Model, cfg: PhysicsConfig):
             )
         else:
             v3, vp = v2, [0.0] * model.nv
+        v3 = [
+            vd if _is0f(vd) else jnp.clip(vd, -cfg.max_velocity, cfg.max_velocity)
+            for vd in v3
+        ]
         v_pos = [
             v3[d] + vp[d] if not _is0f(vp[d]) else v3[d] for d in range(model.nv)
         ]

@@ -14,6 +14,8 @@ import pytest
 import pybulletgym_tpu as pg
 from pybulletgym_tpu.envs.base import make_env
 
+pytestmark = pytest.mark.slow
+
 WEIGHTS = sorted(
     p for p in glob.glob(
         os.path.join(os.path.dirname(__file__), "..", "examples", "weights", "*.npz")
@@ -42,6 +44,8 @@ def _policy(path):
         norm = (jnp.asarray(d["obs_mean"]),
                 jnp.sqrt(jnp.asarray(d["obs_var"]) + 1e-8))
 
+    squash = "squash" in d and bool(d["squash"])  # SAC: tanh output head
+
     def act(obs):  # obs (B, obs_dim)
         h = obs
         if norm is not None:
@@ -50,7 +54,7 @@ def _policy(path):
             h = h @ w + b
             if i < n - 1:
                 h = jnp.tanh(h)
-        return jnp.clip(h, -1.0, 1.0)
+        return jnp.tanh(h) if squash else jnp.clip(h, -1.0, 1.0)
 
     return act
 

@@ -12,6 +12,8 @@ import pytest
 
 import pybulletgym_tpu as pg
 
+pytestmark = pytest.mark.slow
+
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")
 GOLDENS = sorted(glob.glob(os.path.join(GOLDEN_DIR, "*.npz")))
 

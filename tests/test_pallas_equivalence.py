@@ -11,6 +11,8 @@ import pytest
 
 import pybulletgym_tpu as pg
 
+pytestmark = pytest.mark.slow
+
 requires_tpu = pytest.mark.skipif(
     jax.default_backend() != "tpu", reason="pallas TPU kernel needs a TPU"
 )

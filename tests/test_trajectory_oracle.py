@@ -17,6 +17,8 @@ from pybulletgym_tpu.models.mjcf import load_mjcf  # noqa: E402
 from pybulletgym_tpu.ops.step import PhysicsConfig, make_physics_step  # noqa: E402
 from pybulletgym_tpu.ops.contacts import SolverConfig  # noqa: E402
 
+pytestmark = pytest.mark.slow
+
 DT = 0.0165
 N_STEPS = 60
 
