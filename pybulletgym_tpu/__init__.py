@@ -27,3 +27,4 @@ __version__ = "0.1.0"
 from pybulletgym_tpu.api.registry import (  # noqa: F401
     make, make_batched, make_task, registry,
 )
+from pybulletgym_tpu.api.gym_adapter import make_vec  # noqa: F401

@@ -20,7 +20,7 @@ from pybulletgym_tpu.envs.base import BatchedEnv
 
 
 class GymAdapter(gymnasium.Env):
-    metadata = {"render_modes": ["rgb_array"]}
+    metadata = {"render_modes": ["rgb_array", "human"]}
 
     def __init__(self, task, spec, render_mode: Optional[str] = None):
         from pybulletgym_tpu.api.registry import make_batched
@@ -70,9 +70,107 @@ class GymAdapter(gymnasium.Env):
     def render(self):
         from pybulletgym_tpu.utils.render import render_state
 
-        return render_state(self._env.task, self._state)
+        frame = render_state(self._env.task, self._state)
+        if self.render_mode == "human":
+            # the reference's GUI mode [ref: env_bases.py ·
+            # BaseBulletEnv.render('human')]; headless boxes fall back to
+            # rgb_array with a one-time notice
+            self._show(frame)
+            return None
+        return frame
+
+    def _show(self, frame):
+        if getattr(self, "_human_broken", False):
+            return
+        try:
+            import matplotlib
+
+            if not hasattr(self, "_imshow"):
+                import matplotlib.pyplot as plt
+
+                if matplotlib.get_backend().lower() == "agg":
+                    raise RuntimeError("no interactive matplotlib backend")
+                plt.ion()
+                self._fig, ax = plt.subplots(num=self._spec.id)
+                ax.set_axis_off()
+                self._imshow = ax.imshow(frame)
+            else:
+                self._imshow.set_data(frame)
+            self._fig.canvas.draw_idle()
+            self._fig.canvas.flush_events()
+        except Exception as e:  # headless: no display/backend
+            self._human_broken = True
+            import warnings
+
+            warnings.warn(
+                f"render_mode='human' unavailable ({e}); frames are still "
+                "produced — use render_mode='rgb_array' to consume them"
+            )
 
     def close(self):
+        if hasattr(self, "_fig"):
+            import matplotlib.pyplot as plt
+
+            plt.close(self._fig)
+
+
+class VectorAdapter(gymnasium.vector.VectorEnv):
+    """gymnasium VectorEnv facade over `make_batched` — the reference has
+    no vector API at all (one Bullet world per env object, SURVEY §2.3);
+    gym users wrap it in gym.vector manually. Here the batch IS the native
+    representation, so this adapter is a thin numpy boundary around the
+    jitted batched step. Auto-reset follows gymnasium 1.x's next-step
+    semantics, which is exactly what envs.base implements on-device.
+    """
+
+    metadata = {"render_modes": []}
+
+    def __init__(self, env_id: str, num_envs: int, backend: Optional[str] = None):
+        from pybulletgym_tpu.api.registry import make_batched, make_task, registry
+
+        kwargs = {} if backend is None else {"backend": backend}
+        self._env = make_batched(env_id, num_envs, **kwargs)
+        task = make_task(env_id)
+        self.spec = registry[env_id]
+        self.num_envs = num_envs
+        self.single_action_space = spaces.Box(
+            -1.0, 1.0, (task.act_dim,), np.float32
+        )
+        self.single_observation_space = spaces.Box(
+            -np.inf, np.inf, (task.obs_dim,), np.float32
+        )
+        self.action_space = gymnasium.vector.utils.batch_space(
+            self.single_action_space, num_envs
+        )
+        self.observation_space = gymnasium.vector.utils.batch_space(
+            self.single_observation_space, num_envs
+        )
+        self._state = None
+        self._seed = 0
+
+    def reset(self, *, seed: Optional[int] = None, options=None):
+        if seed is not None:
+            self._seed = seed
+            self._epoch = 0
+        else:
+            self._epoch = getattr(self, "_epoch", -1) + 1
+        self._state = self._env.reset(seed=self._seed, epoch=self._epoch)
+        return np.asarray(self._state.obs.T, np.float32), {}
+
+    def step(self, actions):
+        assert self._state is not None, "call reset() first"
+        a = np.asarray(actions, np.float32).reshape(self.num_envs, -1)
+        self._state = self._env.step(self._state, a)
+        st = self._state
+        return (
+            np.asarray(st.obs.T, np.float32),
+            np.asarray(st.reward, np.float32),
+            np.asarray(st.terminated),
+            np.asarray(st.truncated),
+            {k: np.asarray(v) for k, v in st.rewards.items()},
+        )
+
+    def close_extras(self, **kwargs):
         pass
 
 
@@ -80,3 +178,8 @@ def make_adapter(env_id: str, **kwargs):
     from pybulletgym_tpu.api import registry as reg
 
     return GymAdapter(reg.make_task(env_id), reg.registry[env_id], **kwargs)
+
+
+def make_vec(env_id: str, num_envs: int, backend: Optional[str] = None):
+    """Native vectorized gymnasium API: `pybulletgym_tpu.make_vec(id, N)`."""
+    return VectorAdapter(env_id, num_envs, backend=backend)

@@ -158,6 +158,10 @@ def _register_all() -> None:
     # our Pusher already implements the Gym-Pusher-v2 contract the
     # reference's MuJoCo mirror targets; same task, Gym's 100-step horizon
     register("PusherMuJoCoEnv-v0", manip.PusherTask, 100, 0.0)
+    # same rationale: the roboschool-family tasks already implement the
+    # Gym-v2 Striker/Thrower contracts the mirrors target
+    register("StrikerMuJoCoEnv-v0", manip.StrikerTask, 100, 0.0)
+    register("ThrowerMuJoCoEnv-v0", manip.ThrowerTask, 100, 0.0)
 
 
 _register_all()

@@ -99,7 +99,19 @@ class WalkerTask(Task):
                 self.model, geoms=self.model.geoms + (floor,)
             )
         m = self.model
-        solver = SolverConfig(self_collision_pairs=spec.self_collision)
+        sc = spec.self_collision
+        if sc and sc[0] == "full":
+            # Bullet's all-non-ancestor-pairs semantics, generated from the
+            # model (VERDICT r1 #3); any explicit pairs after the "full"
+            # sentinel (FlagrunHarder's cube-vs-robot set) are appended.
+            # cube_geom is excluded from generation: the cube is a separate
+            # body in the reference, not part of the robot's self set.
+            from pybulletgym_tpu.ops.contacts import full_self_collision_pairs
+
+            sc = full_self_collision_pairs(
+                m, exclude_geoms=("cube_geom",)
+            ) + tuple(sc[1:])
+        solver = SolverConfig(self_collision_pairs=sc)
         # Walker timing [ref: scene_bases.py · SinglePlayerStadiumScene]:
         # gravity 9.8, timestep 0.0165/4, frame_skip 4.
         self.physics = PhysicsConfig(
@@ -375,25 +387,10 @@ ANT = WalkerSpec(
     ),
 )
 
-# Self-collision pair subset for the Humanoid (reference loads it with
-# URDF_USE_SELF_COLLISION [ref: MJCFBasedRobot.reset, self_collision=True];
-# Bullet then tests all non-parent pairs — we keep the pairs that actually
-# carry impulses during locomotion/falls: legs crossing, arms vs torso,
-# hands vs pelvis, arms crossing).
-_HUMANOID_SELF_PAIRS = (
-    ("left_thigh1", "right_thigh1"),
-    ("left_shin1", "right_shin1"),
-    ("left_foot", "right_foot"),
-    ("left_shin1", "right_thigh1"),
-    ("right_shin1", "left_thigh1"),
-    ("left_foot", "right_shin1"),
-    ("right_foot", "left_shin1"),
-    ("right_larm", "torso1"),
-    ("left_larm", "torso1"),
-    ("right_hand", "butt"),
-    ("left_hand", "butt"),
-    ("left_larm", "right_larm"),
-)
+# Humanoid self-collision: the reference loads with URDF_USE_SELF_COLLISION
+# | EXCLUDE_ALL_PARENTS [ref: MJCFBasedRobot.reset, self_collision=True];
+# the "full" sentinel generates the all-non-ancestor pair set from the
+# model at build time (ops.contacts.full_self_collision_pairs — 66 pairs).
 
 HUMANOID = WalkerSpec(
     name="humanoid",
@@ -402,7 +399,7 @@ HUMANOID = WalkerSpec(
     alive_mode="humanoid",
     foot_geoms=("right_foot", "left_foot"),
     cost_scale=4.25,
-    self_collision=_HUMANOID_SELF_PAIRS,
+    self_collision=("full",),
     coef_overrides={
         "abdomen_z": 100.0, "abdomen_y": 100.0, "abdomen_x": 100.0,
         "right_hip_x": 100.0, "right_hip_z": 100.0, "right_hip_y": 300.0,
@@ -625,5 +622,5 @@ HUMANOID_FLAGRUN_HARDER = dataclasses.replace(
     cost_scale=4.25 / 4.0,   # electricity quartered [ref: FlagrunHarder]
     stall_scale=4.25,        # stall torque stays at full humanoid scale
     exclude_parts=("aggressive_cube",),
-    self_collision=_HUMANOID_SELF_PAIRS + _CUBE_PAIRS,
+    self_collision=("full",) + _CUBE_PAIRS,
 )

@@ -142,12 +142,15 @@ class PusherTask(Task):
     * torque = gear * ctrlrange_hi * clip(a) = 2*a
     """
 
+    XML = "pusher.xml"
+    # fingertip/forearm capsules vs the object: the pairs MuJoCo's
+    # contype/conaffinity masks activate in the asset
+    PAIRS = (("geom15", "geom19"), ("geom16", "geom19"), ("geom17", "geom19"))
+
     def __init__(self):
-        self.model = load_mjcf(asset_path("pusher.xml"))
+        self.model = load_mjcf(asset_path(self.XML))
         m = self.model
-        # fingertip/forearm capsules vs the object cylinder: the pairs
-        # MuJoCo's contype/conaffinity masks activate in pusher.xml
-        pairs = (("geom15", "geom19"), ("geom16", "geom19"), ("geom17", "geom19"))
+        pairs = self.PAIRS
         self.physics = PhysicsConfig(
             timestep=0.0165, frame_skip=1, gravity=(0.0, 0.0, -9.8),
             solver=SolverConfig(self_collision_pairs=pairs),
@@ -225,9 +228,9 @@ class PusherTask(Task):
 class StrikerTask(PusherTask):
     """Strike the ball so it slides to the goal
     [ref: …/envs/manipulation/striker_env.py · StrikerBulletEnv] —
-    Gym-Striker-v2 contract over the pusher arm model (the reference's
-    striker arm is near-identical; asset reuse is a documented (L)
-    approximation):
+    Gym-Striker-v2 contract over the authored striker.xml (arm3d arm +
+    sphere ball + striking plate; an (L)-confidence reconstruction — the
+    reference asset is absent offline):
 
     * reward = 3·reward_dist + 0.1·reward_ctrl + 0.5·reward_near where
       reward_dist = -min over the episode of ||obj - goal|| (tracked in
@@ -235,7 +238,15 @@ class StrikerTask(PusherTask):
       0.1 of the ball ("striked"), afterwards -||obj - strike_pos||
     * reset: ball fixed at world (0.5, -0.175); goal ~ (U(0.15,0.7),
       U(0.1,1.0)) kept >= 0.17 from the ball
+    * dedicated striker.xml asset (round 2): sphere ball instead of the
+      pusher cylinder, wrist striking plate, larger table
     """
+
+    XML = "striker.xml"
+    PAIRS = (
+        ("wrist_c1", "ball_geom"), ("wrist_c2", "ball_geom"),
+        ("wrist_c3", "ball_geom"), ("strike_plate", "ball_geom"),
+    )
 
     def __init__(self):
         super().__init__()

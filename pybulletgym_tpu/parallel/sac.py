@@ -43,6 +43,11 @@ class SACConfig:
     updates_per_iter: int = 4       # gradient updates per iteration
     batch_size: int = 1024          # minibatch transitions per update
     warmup_steps: int = 32          # random-policy slots before learning
+    # anti-saturation guards: without them the pre-tanh mean can drift far
+    # past +-1 early (Q briefly favors bang-bang), after which tanh'(pre)=0
+    # freezes the actor permanently (observed: mean=8.2 for every state)
+    pre_reg: float = 1e-3           # penalty on pre-tanh mean magnitude
+    alpha_min: float = 0.01         # floor for the entropy temperature
 
 
 class QParams(NamedTuple):
@@ -207,11 +212,21 @@ def make_sac_iteration(task: Task, cfg: SACConfig, step_fn=None):
         opt_critic = (m, v, c)
 
         def actor_loss(actor):
-            a, logp = sample_action(actor, obs, k_pi)
+            mean, log_std = actor_dist(actor, obs)
+            std = jnp.exp(log_std)
+            eps = jax.random.normal(k_pi, mean.shape, mean.dtype)
+            pre = mean + std * eps
+            a = jnp.tanh(pre)
+            logp = jnp.sum(
+                -0.5 * eps**2 - log_std - 0.5 * np.log(2 * np.pi)
+                - jnp.log(1.0 - a**2 + 1e-6),
+                axis=-1,
+            )
             q = jnp.minimum(
                 q_apply(critics.q1, obs, a), q_apply(critics.q2, obs, a)
             )
-            return jnp.mean(alpha * logp - q), logp
+            reg = cfg.pre_reg * jnp.mean(jnp.sum(mean**2, axis=-1))
+            return jnp.mean(alpha * logp - q) + reg, logp
 
         (aloss, logp), agrad = jax.value_and_grad(actor_loss, has_aux=True)(ss.actor)
         m, v, c = ss.opt_actor
@@ -228,6 +243,7 @@ def make_sac_iteration(task: Task, cfg: SACConfig, step_fn=None):
         m, v, c = ss.opt_alpha
         log_alpha, m, v, c = _adam(ss.log_alpha, gl, m, v, c,
                                    cfg.alpha_lr, max_norm=1e9)
+        log_alpha = jnp.maximum(log_alpha, np.log(cfg.alpha_min))
         opt_alpha = (m, v, c)
 
         targets = jax.tree.map(

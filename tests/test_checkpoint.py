@@ -48,3 +48,33 @@ def test_trainstate_roundtrip():
         ts2 = checkpoint.load(path, ppo.init_train_state(jax.random.PRNGKey(9), 5, 1, cfg))
     for a, b in zip(jax.tree.leaves(ts), jax.tree.leaves(ts2)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_template_mismatches_raise_value_error():
+    """ADVICE r1: fewer saved leaves than the template, more leaves, and a
+    different tree STRUCTURE must all raise ValueError (so resumable
+    trainers fall back to a fresh start instead of crashing or silently
+    loading wrong data)."""
+    import pytest
+
+    small = {"a": np.zeros(3), "b": np.ones(2)}
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "ck.npz")
+        checkpoint.save(path, small)
+
+        # template has MORE leaves than the checkpoint
+        bigger = {"a": np.zeros(3), "b": np.ones(2), "c": np.zeros(1)}
+        with pytest.raises(ValueError):
+            checkpoint.load(path, bigger)
+
+        # template has FEWER leaves
+        with pytest.raises(ValueError):
+            checkpoint.load(path, {"a": np.zeros(3)})
+
+        # same leaf count, different structure (dict keys)
+        with pytest.raises(ValueError):
+            checkpoint.load(path, {"a": np.zeros(3), "z": np.ones(2)})
+
+        # same structure, wrong shape
+        with pytest.raises(ValueError):
+            checkpoint.load(path, {"a": np.zeros(4), "b": np.ones(2)})

@@ -61,3 +61,28 @@ def test_single_env_gym_api(env_id, rng):
         if term or trunc:
             obs, info = env.reset(seed=8)
     assert np.isfinite(total)
+
+
+def test_vector_adapter(rng):
+    """gymnasium VectorEnv facade over the batched core (round-2 API)."""
+    venv = pg.make_vec("HopperPyBulletEnv-v0", 4)
+    obs, _ = venv.reset(seed=3)
+    assert obs.shape == (4,) + venv.single_observation_space.shape
+    for _ in range(3):
+        a = rng.uniform(-1, 1, (4, 3)).astype(np.float32)
+        obs, r, term, trunc, infos = venv.step(a)
+    assert obs.shape == (4, 15) and r.shape == (4,)
+    assert term.dtype == bool and trunc.dtype == bool
+    assert "progress" in infos
+
+
+def test_render_human_headless_warns_not_crashes():
+    import warnings
+
+    env = pg.make("InvertedPendulumPyBulletEnv-v0", render_mode="human")
+    env.reset(seed=0)
+    with warnings.catch_warnings(record=True):
+        warnings.simplefilter("always")
+        out = env.render()          # headless: falls back, returns None
+    assert out is None
+    env.close()

@@ -245,7 +245,12 @@ def _drive(args, deadline, meta, state, es, step_j, evaluate, eval_params,
         if it % 10 == 0:
             m = jax.tree.map(float, m)
             rate = (it - it0) * steps_per_iter * args.batch / (time.time() - t0)
-            print(f"iter {it} reward {m['reward_mean']:+.3f} "
+            extra = "".join(
+                f" {k} {m[k]:+.4f}" for k in ("critic_loss", "actor_loss",
+                                              "alpha", "loss")
+                if k in m
+            )
+            print(f"iter {it} reward {m['reward_mean']:+.3f}{extra} "
                   f"{rate:,.0f} steps/s", flush=True)
         if it % args.eval_every == 0:
             mean, rets = evaluate(eval_params(state), apply)
