@@ -27,6 +27,7 @@ WEIGHTS = sorted(
 # pendulum ships solved; the hopper ships as a working gait demo)
 MIN_RETURN = {
     "InvertedPendulumPyBulletEnv-v0": 950.0,
+    "InvertedDoublePendulumPyBulletEnv-v0": 9100.0,  # threshold (round 2)
     "HopperPyBulletEnv-v0": 2000.0,
     "AntPyBulletEnv-v0": 1500.0,  # high per-episode variance (solved on 64-ep mean)
     "Walker2DPyBulletEnv-v0": 400.0,

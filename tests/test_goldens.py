@@ -18,12 +18,17 @@ GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")
 GOLDENS = sorted(glob.glob(os.path.join(GOLDEN_DIR, "*.npz")))
 
 
+def _env_id_of(path):
+    name = os.path.basename(path)[:-4]
+    return name[:-4] if name.endswith(".cpu") else name
+
+
 @pytest.mark.parametrize(
     "path", GOLDENS, ids=[os.path.basename(p)[:-4] for p in GOLDENS]
 )
 def test_golden_rollout(path):
     data = np.load(path)
-    env_id = os.path.basename(path)[:-4]
+    env_id = _env_id_of(path)
     B, n_steps, seed = int(data["batch"]), int(data["n_steps"]), int(data["seed"])
 
     import jax

@@ -86,9 +86,12 @@ def main():
                             f"(best so far: {best}) =====\n")
                     f.flush()
                     try:
+                        # generous hard cap: cold compiles (slow axon
+                        # compile service) can precede the chunk's own
+                        # post-compile wall-clock budget
                         subprocess.run(
                             cmd, stdout=f, stderr=subprocess.STDOUT,
-                            timeout=args.chunk_minutes * 60 + 240,
+                            timeout=args.chunk_minutes * 60 + 1800,
                         )
                     except subprocess.TimeoutExpired:
                         f.write("\n[scheduler] chunk hit hard timeout\n")

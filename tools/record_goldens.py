@@ -14,6 +14,12 @@ import sys
 
 import jax
 
+if "--cpu" in sys.argv:
+    # CPU-platform golden set (VERDICT r1 #6): exact replay is platform-
+    # specific, so CPU CI needs its own fixtures next to the TPU ones
+    sys.argv.remove("--cpu")
+    jax.config.update("jax_platforms", "cpu")
+
 jax.config.update("jax_compilation_cache_dir", "/tmp/pybulletgym_tpu_jaxcache")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -46,7 +52,8 @@ def record(env_id):
         obs.append(np.asarray(s.obs))
         rew.append(np.asarray(s.reward))
         term.append(np.asarray(s.terminated))
-    path = os.path.join(OUT, env_id + ".npz")
+    suffix = ".npz" if jax.default_backend() != "cpu" else ".cpu.npz"
+    path = os.path.join(OUT, env_id + suffix)
     np.savez_compressed(
         path,
         obs=np.stack(obs), reward=np.stack(rew), terminated=np.stack(term),

@@ -238,9 +238,18 @@ def _drive(args, deadline, meta, state, es, step_j, evaluate, eval_params,
     t0 = time.time()
     it0 = it
     hits = 0
+    first = True
     apply = _APPLY[args.algo]
     while time.time() < deadline:
         state, es, m = step_j(state, es)
+        if first:
+            # cold compiles can eat many minutes (and the axon compile
+            # service is sometimes slow); budget the chunk from the first
+            # completed iteration so compile-only chunks still train
+            jax.block_until_ready(jax.tree.leaves(m)[0])
+            deadline = time.time() + args.minutes * 60.0
+            t0 = time.time()
+            first = False
         it += 1
         if it % 10 == 0:
             m = jax.tree.map(float, m)
