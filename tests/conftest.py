@@ -19,6 +19,12 @@ os.environ["XLA_FLAGS"] = (
 
 import jax  # noqa: E402
 
+# sitecustomize pins the axon TPU plugin regardless of JAX_PLATFORMS, so an
+# env var is not enough when the TPU (or its compile service) is down; this
+# knob forces a true-CPU run (slow first compiles, but hermetic).
+if os.environ.get("PYBULLETGYM_TPU_FORCE_CPU"):
+    jax.config.update("jax_platforms", "cpu")
+
 # Persistent compilation cache: the engine unrolls per-model structure at
 # trace time, so test compiles are expensive but fully repeatable — cache
 # them across test runs.
