@@ -32,6 +32,7 @@ MIN_RETURN = {
     "AntPyBulletEnv-v0": 1500.0,  # high per-episode variance (solved on 64-ep mean)
     "Walker2DPyBulletEnv-v0": 400.0,
     "HalfCheetahPyBulletEnv-v0": 1000.0,
+    "ReacherPyBulletEnv-v0": 18.0,  # threshold (round 3, IK-expert BC)
 }
 
 
