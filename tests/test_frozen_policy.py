@@ -33,6 +33,7 @@ MIN_RETURN = {
     "Walker2DPyBulletEnv-v0": 400.0,
     "HalfCheetahPyBulletEnv-v0": 1000.0,
     "ReacherPyBulletEnv-v0": 18.0,  # threshold (round 3, IK-expert BC)
+    "InvertedPendulumSwingupPyBulletEnv-v0": 800.0,  # threshold (round 3)
 }
 
 
