@@ -33,27 +33,36 @@ LOGDIR = "/tmp/campaign"
 # reacher settling into the "don't move, save electricity" optimum with
 # entropy 0.003. Fix: few-env/long-history SAC for swingup; higher
 # exploration for reacher.
+# Round-3 recipes (post mid-round review):
+# * Swingup + Reacher solved via scripted-expert BC (tools/expert_bc.py) —
+#   their campaign.json bests exceed target, so no jobs here.
+# * Resuming a converged policy at lr 3e-4 / entropy 3e-3 DEGRADES it
+#   (walker chunk 1: eval 1102 -> 520 over 3000 iters): polish resumes run
+#   at lr 1e-4 and entropy 1e-3.
+# * Walker2D's 64,64 net plateaued ~1000 in both rounds: go to 128,128
+#   fresh with lr-anneal + gentle initial exploration (best-guard in
+#   campaign.json protects the shipped npz until the new run beats it).
 JOBS = [
-    ("InvertedPendulumSwingupPyBulletEnv-v0", 870.0, 40, 1,
-     ["--algo", "sac", "--backend", "xla", "--batch", "256",
-      "--sac-slots", "8192", "--sac-batch", "512", "--sac-updates", "8",
-      "--eval-every", "400", "--hidden", "256,256"]),
-    ("ReacherPyBulletEnv-v0", 19.0, 24, 1,
-     ["--normalize", "--entropy", "0.01", "--eval-every", "60"]),
     ("HalfCheetahPyBulletEnv-v0", 3050.0, 60, 2,
-     ["--normalize", "--entropy", "0.003", "--eval-every", "40"]),
+     ["--normalize", "--entropy", "0.001", "--lr", "1e-4",
+      "--eval-every", "40"]),
     ("Walker2DPyBulletEnv-v0", 2550.0, 60, 2,
-     ["--normalize", "--entropy", "0.003", "--eval-every", "40"]),
+     ["--normalize", "--entropy", "0.005", "--hidden", "128,128",
+      "--anneal-updates", "30000", "--log-std-init", "-0.7",
+      "--eval-every", "40"]),
     ("HumanoidPyBulletEnv-v0", 2500.0, 80, 2,
      ["--normalize", "--entropy", "0.003", "--eval-every", "40",
-      "--hidden", "256,128", "--lr", "1e-4"]),
+      "--hidden", "256,128", "--lr", "2e-4",
+      "--anneal-updates", "60000", "--log-std-init", "-0.7"]),
     ("HumanoidFlagrunPyBulletEnv-v0", 2000.0, 80, 2,
      ["--normalize", "--entropy", "0.003", "--eval-every", "40",
-      "--hidden", "256,128", "--lr", "1e-4"]),
+      "--hidden", "256,128", "--lr", "2e-4",
+      "--anneal-updates", "60000", "--log-std-init", "-0.7"]),
     ("PusherPyBulletEnv-v0", -40.0, 12, 1,
      ["--normalize", "--entropy", "0.003", "--eval-every", "60"]),
     ("HopperPyBulletEnv-v0", 2650.0, 12, 1,
-     ["--normalize", "--entropy", "0.003", "--eval-every", "40"]),
+     ["--normalize", "--entropy", "0.001", "--lr", "5e-5",
+      "--eval-every", "40"]),
 ]
 
 

@@ -129,7 +129,9 @@ def run_ppo(args, deadline):
             print(f"resumed trainstate ({meta})", flush=True)
         except ValueError as e:
             print(f"checkpoint incompatible ({e}); fresh start", flush=True)
-            meta = {"best": -np.inf, "iters": 0}
+            # keep the recorded best: the shipped npz is still that good,
+            # a fresh run must beat it before overwriting
+            meta = {"best": float(meta["best"]), "iters": 0}
     if fresh and args.log_std_init is not None:
         ts = ts._replace(params=ts.params._replace(
             log_std=jnp.full_like(ts.params.log_std, args.log_std_init)
@@ -203,7 +205,7 @@ def run_sac(args, deadline):
             print(f"resumed sacstate ({meta})", flush=True)
         except ValueError as e:
             print(f"checkpoint incompatible ({e}); fresh start", flush=True)
-            meta = {"best": -np.inf, "iters": 0}
+            meta = {"best": float(meta["best"]), "iters": 0}
     es = env.reset(seed=args.seed + int(meta["iters"]))
     evaluate = make_eval_fn(args.env_id, args.eval_episodes)
 
