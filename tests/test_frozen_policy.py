@@ -34,6 +34,12 @@ MIN_RETURN = {
     "HalfCheetahPyBulletEnv-v0": 1000.0,
     "ReacherPyBulletEnv-v0": 18.0,  # threshold (round 3, IK-expert BC)
     "InvertedPendulumSwingupPyBulletEnv-v0": 800.0,  # threshold (round 3)
+    "InvertedPendulumMuJoCoEnv-v0": 950.0,  # threshold (round 3, CEM)
+    # mirror manipulation thresholds are the roboschool 18.0 carried over
+    # by the reference registry — unreachable under the Gym-MuJoCo-style
+    # negative-distance reward; floors anchor the shipped demo instead.
+    "ReacherMuJoCoEnv-v0": -14.0,  # BC of the IK expert (expert: -9.4)
+    "InvertedDoublePendulumMuJoCoEnv-v0": 4000.0,  # CEM, still training
 }
 
 
