@@ -32,7 +32,7 @@ import numpy as np
 # scripted experts: obs (obs_dim, B) -> action (act_dim, B), pure jnp
 # ---------------------------------------------------------------------------
 
-def reacher_expert():
+def reacher_expert(task=None):
     """Two-link IK + PD with energy shaping for ReacherPyBulletEnv-v0.
 
     Key reward facts (envs/manipulation.py ReacherTask.output_scalar):
@@ -80,7 +80,7 @@ def reacher_expert():
     return expert
 
 
-def swingup_expert():
+def swingup_expert(task=None):
     """Energy-pump + balance-PD for InvertedPendulumSwingupPyBulletEnv-v0.
 
     Classic two-mode cart-pole swingup: far from upright, pump energy with
@@ -104,10 +104,21 @@ def swingup_expert():
     return expert
 
 
+def _arm_expert_entry(env_id):
+    def factory(task):
+        from tools.arm_experts import make_arm_expert
+        return make_arm_expert(env_id, task)
+    return factory
+
+
 EXPERTS = {
     "ReacherPyBulletEnv-v0": reacher_expert,
     "InvertedPendulumSwingupPyBulletEnv-v0": swingup_expert,
 }
+for _env in ("PusherPyBulletEnv-v0", "StrikerPyBulletEnv-v0",
+             "ThrowerPyBulletEnv-v0", "PusherMuJoCoEnv-v0",
+             "StrikerMuJoCoEnv-v0", "ThrowerMuJoCoEnv-v0"):
+    EXPERTS[_env] = _arm_expert_entry(_env)
 
 
 def main():
@@ -141,10 +152,10 @@ def main():
     import pybulletgym_tpu as pg
     from pybulletgym_tpu.envs.base import make_env
 
-    expert = EXPERTS[args.env_id]()
     B = args.envs
     env = pg.make_batched(args.env_id, B, backend="xla", jit=False)
     task = env.task
+    expert = EXPERTS[args.env_id](task)
     _, step_fn = make_env(task)
     T = task.max_episode_steps
     obs_dim, act_dim = task.obs_dim, task.act_dim
