@@ -1,11 +1,18 @@
-"""Serial round-robin driver for tools/train_campaign.py.
+"""Serial round-robin driver for the policy-training campaign.
 
 Loops over the job list, running ONE wall-clock-bounded chunk per unmet
 job per cycle (so every env makes progress instead of the first job
 monopolizing the TPU). A job is met when its campaign.json best >= target,
-or when its chunk budget is exhausted. Designed to run inside tmux
+or when its chunk budget is exhausted. Designed to run via setsid/nohup
 (outlives the ~10-min background-task kill) with everything serialized on
 this box's single CPU core.
+
+Two job kinds:
+  ppo    — chunks of tools/train_campaign.py (PPO/SAC on the TPU)
+  expert — CEM-tune a scripted controller (tools/tune_expert.py) until
+           its expert.json score clears tune_target, then clone it into
+           the shipped MLP via tools/expert_bc.py; re-tune with --resume
+           if the cloned policy falls short of the ship target.
 
 Usage:  python tools/campaign_scheduler.py [--chunk-minutes 8.7]
 Logs:   /tmp/campaign/<env>.log (appended per chunk)
@@ -22,27 +29,23 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 WEIGHTS = os.path.join(HERE, "..", "examples", "weights")
 LOGDIR = "/tmp/campaign"
 
-# (env_id, target, max_chunks, weight = chunks per scheduler cycle, extra)
-#
-# Round-3 recipes, from scripted-controller probes (/tmp/probe_swingup*,
-# /tmp/probe_reacher*): both swingup (+887 scripted, threshold 800) and
-# reacher (+23 from a random linear policy, threshold 18) are solvable —
-# the round-2 failures were (a) swingup runs predating the physics fix
-# plus a replay ring spanning only ~128 iters of history (2048 envs x 512
-# slots ~ on-policy SAC, collapses into the swing attractor), and (b)
-# reacher settling into the "don't move, save electricity" optimum with
-# entropy 0.003. Fix: few-env/long-history SAC for swingup; higher
-# exploration for reacher.
 # Round-3 recipes (post mid-round review):
-# * Swingup + Reacher solved via scripted-expert BC (tools/expert_bc.py) —
-#   their campaign.json bests exceed target, so no jobs here.
-# * Resuming a converged policy at lr 3e-4 / entropy 3e-3 DEGRADES it
+# * Swingup/Reacher/mirror-pendula solved via scripted-expert BC + CEM —
+#   no jobs needed; their campaign.json bests exceed target.
+# * Resuming a converged PPO policy at lr 3e-4 / entropy 3e-3 DEGRADES it
 #   (walker chunk 1: eval 1102 -> 520 over 3000 iters): polish resumes run
 #   at lr 1e-4 and entropy 1e-3.
 # * Walker2D's 64,64 net plateaued ~1000 in both rounds: go to 128,128
 #   fresh with lr-anneal + gentle initial exploration (best-guard in
 #   campaign.json protects the shipped npz until the new run beats it).
-JOBS = [
+# * Arm envs (Pusher/Striker/Thrower + mirrors) go through the
+#   model-based-expert pipeline (tools/arm_experts.py), not RL: CEM-tune
+#   ~10 controller constants against the env reward, then behavior-clone.
+#   Targets are derived from the analytic random-policy baselines
+#   (Pusher ~ -95, Striker ~ -270, Thrower ~ -50 random).
+
+PPO_JOBS = [
+    # (env_id, target, max_chunks, weight, extra train_campaign args)
     ("HalfCheetahPyBulletEnv-v0", 3050.0, 60, 2,
      ["--normalize", "--entropy", "0.001", "--lr", "1e-4",
       "--eval-every", "40"]),
@@ -58,11 +61,23 @@ JOBS = [
      ["--normalize", "--entropy", "0.003", "--eval-every", "40",
       "--hidden", "256,128", "--lr", "2e-4",
       "--anneal-updates", "60000", "--log-std-init", "-0.7"]),
-    ("PusherPyBulletEnv-v0", -40.0, 12, 1,
-     ["--normalize", "--entropy", "0.003", "--eval-every", "60"]),
+    ("HumanoidFlagrunHarderPyBulletEnv-v0", 1500.0, 60, 1,
+     ["--normalize", "--entropy", "0.003", "--eval-every", "40",
+      "--hidden", "256,128", "--lr", "2e-4",
+      "--anneal-updates", "60000", "--log-std-init", "-0.7"]),
     ("HopperPyBulletEnv-v0", 2650.0, 12, 1,
      ["--normalize", "--entropy", "0.001", "--lr", "5e-5",
       "--eval-every", "40"]),
+]
+
+EXPERT_JOBS = [
+    # (env_id, tune_target, ship_target, max_chunks)
+    ("PusherPyBulletEnv-v0", -40.0, -50.0, 10),
+    ("StrikerPyBulletEnv-v0", -160.0, -190.0, 10),
+    ("ThrowerPyBulletEnv-v0", -30.0, -40.0, 10),
+    ("PusherMuJoCoEnv-v0", -30.0, -38.0, 8),
+    ("StrikerMuJoCoEnv-v0", -160.0, -190.0, 8),
+    ("ThrowerMuJoCoEnv-v0", -30.0, -40.0, 8),
 ]
 
 
@@ -75,49 +90,89 @@ def best_of(env_id):
     return float(d.get("best", -1e18)), int(d.get("iters", 0))
 
 
+def expert_score(env_id):
+    p = os.path.join(WEIGHTS, env_id + ".expert.json")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return float(json.load(f).get("score", -1e18))
+
+
+def run_chunk(env_id, cmd, label, hard_timeout):
+    log = os.path.join(LOGDIR, env_id + ".log")
+    stamp = time.strftime("%H:%M:%S")
+    with open(log, "a") as f:
+        f.write(f"\n===== {label} @ {stamp} =====\n")
+        f.flush()
+        try:
+            # generous hard cap: cold compiles (slow axon compile service)
+            # can precede the chunk's own post-compile wall-clock budget;
+            # killing a chunk mid-compile restarts that compile from zero,
+            # so err far on the side of patience
+            subprocess.run(cmd, stdout=f, stderr=subprocess.STDOUT,
+                           timeout=hard_timeout)
+        except subprocess.TimeoutExpired:
+            f.write("\n[scheduler] chunk hit hard timeout\n")
+    return stamp
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--chunk-minutes", type=float, default=8.7)
     args = ap.parse_args()
     os.makedirs(LOGDIR, exist_ok=True)
-    chunks_run = {env: 0 for env, *_ in JOBS}
+    chunks_run = {}
+    hard = args.chunk_minutes * 60 + 7200
 
     while True:
         progress = False
-        for env_id, target, max_chunks, weight, extra in JOBS:
+
+        # expert pipeline first: cheap chunks, whole envs' first policies
+        for env_id, tune_t, ship_t, max_chunks in EXPERT_JOBS:
+            best, _ = best_of(env_id)
+            if best is not None and best >= ship_t:
+                continue
+            if chunks_run.get(env_id, 0) >= max_chunks:
+                continue
+            chunks_run[env_id] = chunks_run.get(env_id, 0) + 1
+            progress = True
+            sc = expert_score(env_id)
+            # alternate tune/clone chunks once a first clone shipped, so a
+            # below-ship-target BC keeps refining theta instead of looping
+            retune = best is not None and chunks_run[env_id] % 2 == 1
+            if sc is None or sc < tune_t or retune:
+                cmd = [sys.executable, os.path.join(HERE, "tune_expert.py"),
+                       env_id, "--minutes", str(args.chunk_minutes),
+                       "--gens", "10000", "--resume"]
+                label = f"tune chunk {chunks_run[env_id]} (score {sc})"
+            else:
+                cmd = [sys.executable, os.path.join(HERE, "expert_bc.py"),
+                       env_id, "--hidden", "128"]
+                label = f"bc chunk {chunks_run[env_id]} (theta score {sc})"
+            stamp = run_chunk(env_id, cmd, label, hard)
+            b2, _ = best_of(env_id)
+            print(f"{stamp} {env_id}: {label} done, best {best} -> {b2}",
+                  flush=True)
+
+        for env_id, target, max_chunks, weight, extra in PPO_JOBS:
             for _ in range(weight):
                 best, iters = best_of(env_id)
                 if best is not None and best >= target:
                     break
-                if chunks_run[env_id] >= max_chunks:
+                if chunks_run.get(env_id, 0) >= max_chunks:
                     break
-                chunks_run[env_id] += 1
+                chunks_run[env_id] = chunks_run.get(env_id, 0) + 1
                 progress = True
-                log = os.path.join(LOGDIR, env_id + ".log")
-                cmd = [sys.executable,
-                       os.path.join(HERE, "train_campaign.py"),
+                cmd = [sys.executable, os.path.join(HERE, "train_campaign.py"),
                        env_id, "--minutes", str(args.chunk_minutes),
                        "--target", str(target)] + extra
-                stamp = time.strftime("%H:%M:%S")
-                with open(log, "a") as f:
-                    f.write(f"\n===== chunk {chunks_run[env_id]} @ {stamp} "
-                            f"(best so far: {best}) =====\n")
-                    f.flush()
-                    try:
-                        # generous hard cap: cold compiles (slow axon
-                        # compile service) can precede the chunk's own
-                        # post-compile wall-clock budget; killing a chunk
-                        # mid-compile restarts that compile from zero, so
-                        # err far on the side of patience
-                        subprocess.run(
-                            cmd, stdout=f, stderr=subprocess.STDOUT,
-                            timeout=args.chunk_minutes * 60 + 7200,
-                        )
-                    except subprocess.TimeoutExpired:
-                        f.write("\n[scheduler] chunk hit hard timeout\n")
+                stamp = run_chunk(
+                    env_id, cmd,
+                    f"chunk {chunks_run[env_id]} (best so far: {best})", hard)
                 b2, it2 = best_of(env_id)
                 print(f"{stamp} {env_id}: chunk {chunks_run[env_id]} done, "
                       f"best {best} -> {b2} (iters {it2})", flush=True)
+
         if not progress:
             print("all jobs met or exhausted; scheduler idle", flush=True)
             time.sleep(600)
