@@ -68,6 +68,20 @@ PPO_JOBS = [
     ("HopperPyBulletEnv-v0", 2650.0, 12, 1,
      ["--normalize", "--entropy", "0.001", "--lr", "5e-5",
       "--eval-every", "40"]),
+    # MuJoCo-mirror walkers: first demo policies (registry thresholds are
+    # the full Gym-v2 "solved" bars — 3800/4800/6000 — far beyond what a
+    # scheduler slot buys; these targets are demo-quality gaits, and the
+    # best-guard keeps raising the shipped npz as chunks accumulate)
+    ("HopperMuJoCoEnv-v0", 1800.0, 30, 1,
+     ["--normalize", "--entropy", "0.003", "--eval-every", "40"]),
+    ("Walker2DMuJoCoEnv-v0", 1500.0, 30, 1,
+     ["--normalize", "--entropy", "0.005", "--hidden", "128,128",
+      "--anneal-updates", "30000", "--log-std-init", "-0.7",
+      "--eval-every", "40"]),
+    ("HalfCheetahMuJoCoEnv-v0", 2200.0, 30, 1,
+     ["--normalize", "--entropy", "0.001", "--eval-every", "40"]),
+    ("AntMuJoCoEnv-v0", 2200.0, 30, 1,
+     ["--normalize", "--entropy", "0.003", "--eval-every", "40"]),
 ]
 
 EXPERT_JOBS = [
