@@ -12,6 +12,20 @@ mitigation — goldens are data files that drop in).
 import os
 import sys
 
+if "--cpu" in sys.argv and (
+    "xla_force_host_platform_device_count"
+    not in os.environ.get("XLA_FLAGS", "")
+):
+    # match tests/conftest.py's XLA environment: the persistent jit cache
+    # keys on it, so recording with any other XLA_FLAGS would make golden
+    # replays recompile from scratch inside pytest chunks (30+ min per
+    # arm/humanoid env on the 1-core CPU)
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=8"
+    ).strip()
+    os.execv(sys.executable, [sys.executable] + sys.argv)
+
 import jax
 
 if "--cpu" in sys.argv:
