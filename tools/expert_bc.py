@@ -153,7 +153,7 @@ def main():
     from pybulletgym_tpu.envs.base import make_env
 
     B = args.envs
-    env = pg.make_batched(args.env_id, B, backend="xla", jit=False)
+    env = pg.make_batched(args.env_id, B, backend="xla", jit=True)  # jitted reset (eager reset is minutes on TPU)
     task = env.task
     expert = EXPERTS[args.env_id](task)
     _, step_fn = make_env(task)

@@ -57,7 +57,7 @@ def main():
     env_id = args.env_id
     P, K = args.pop, args.reps
     B = P * K
-    env = pg.make_batched(env_id, B, backend="xla", jit=False)
+    env = pg.make_batched(env_id, B, backend="xla", jit=True)  # jitted reset: one compile, reused per generation (eager reset is minutes on TPU)
     task = env.task
     _, step_fn = make_env(task)
     T = task.max_episode_steps
