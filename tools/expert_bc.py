@@ -172,36 +172,38 @@ def main():
         h = jnp.tanh(x @ p["w0"] + p["b0"])
         return h @ p["w1"] + p["b1"]
 
+    # ONE jitted rollout covers expert collection, DAgger collection, and
+    # policy eval (mode/noise are traced scalars): a single XLA program —
+    # vital on the 1-core CPU where each T-step arm-env scan costs ~an
+    # hour of LLVM time to compile, and cheap insurance on a degraded
+    # axon compile service.
     @jax.jit
-    def collect_expert(state, k):
+    def roll(state, k, p, drive_expert, noise):
         def body(carry, _):
             s, k = carry
             k, k2 = jax.random.split(k)
             a_exp = expert(s.obs)
-            s2 = step_fn(s, jnp.clip(
-                a_exp + args.noise * jax.random.normal(k2, a_exp.shape), -1, 1))
-            return (s2, k), (s.obs, a_exp)
-        (_, _), (o, a) = jax.lax.scan(body, (state, k), None, length=T)
-        return o, a
-
-    @jax.jit
-    def collect_dagger(state, p):
-        def body(s, _):
-            a_exp = expert(s.obs)
-            s2 = step_fn(s, jnp.clip(mlp(p, s.obs.T).T, -1, 1))
-            return s2, (s.obs, a_exp)
-        _, (o, a) = jax.lax.scan(body, state, None, length=T)
-        return o, a
-
-    @jax.jit
-    def rollout(state, p):
-        def body(s, _):
-            s2 = step_fn(s, jnp.clip(mlp(p, s.obs.T).T, -1, 1))
-            return s2, (s2.reward, s2.done)
-        _, (r, d) = jax.lax.scan(body, state, None, length=T)
+            a_mlp = jnp.clip(mlp(p, s.obs.T).T, -1, 1)
+            a = jnp.where(drive_expert > 0.5, a_exp, a_mlp)
+            a = jnp.clip(a + noise * jax.random.normal(k2, a.shape), -1, 1)
+            s2 = step_fn(s, a)
+            return (s2, k), (s.obs, a_exp, s2.reward, s2.done)
+        (_, _), (o, a, r, d) = jax.lax.scan(body, (state, k), None, length=T)
         alive = jnp.cumprod(1.0 - d.astype(jnp.float32), axis=0)
         prev = jnp.concatenate([jnp.ones((1, B)), alive[:-1]], axis=0)
-        return jnp.sum(r * prev, axis=0)
+        return o, a, jnp.sum(r * prev, axis=0)
+
+    def collect_expert(state, k):
+        o, a, _ = roll(state, k, params, 1.0, args.noise)
+        return o, a
+
+    def collect_dagger(state, p):
+        o, a, _ = roll(state, jax.random.PRNGKey(0), p, 0.0, 0.0)
+        return o, a
+
+    def rollout(state, p):
+        _, _, ret = roll(state, jax.random.PRNGKey(0), p, 0.0, 0.0)
+        return ret
 
     def to_np(o, a):
         return (np.asarray(o).transpose(0, 2, 1).reshape(-1, obs_dim),
