@@ -84,6 +84,19 @@ PPO_JOBS = [
      ["--normalize", "--entropy", "0.003", "--eval-every", "40"]),
 ]
 
+# Mirror-walker distillation (tools/mirror_distill.py): identical dynamics
+# let a solved PyBullet teacher be cloned into the mirror env in ONE cheap
+# chunk (teacher rollouts + BC + DAgger), far cheaper than PPO-from-scratch.
+# Run once per mirror before its PPO job; the tool ships only if it beats
+# the campaign best, and the PPO job then continues from/above that bar.
+DISTILL_JOBS = [
+    # (mirror_env_id, teacher_env_id) — ordered by teacher quality
+    ("AntMuJoCoEnv-v0", "AntPyBulletEnv-v0"),
+    ("HopperMuJoCoEnv-v0", "HopperPyBulletEnv-v0"),
+    ("HalfCheetahMuJoCoEnv-v0", "HalfCheetahPyBulletEnv-v0"),
+    ("Walker2DMuJoCoEnv-v0", "Walker2DPyBulletEnv-v0"),
+]
+
 EXPERT_JOBS = [
     # (env_id, tune_target, ship_target, max_chunks)
     ("PusherPyBulletEnv-v0", -40.0, -50.0, 10),
@@ -138,10 +151,30 @@ def main():
     chunks_run = {}
     hard = args.chunk_minutes * 60 + 7200
 
+    distilled = set()
+
     while True:
         progress = False
 
-        # expert pipeline first: cheap chunks, whole envs' first policies
+        # one-shot distillation first: whole mirror envs' first policies
+        for env_id, teacher in DISTILL_JOBS:
+            if env_id in distilled:
+                continue
+            t_best, _ = best_of(teacher)
+            if t_best is None or t_best < 1000.0:
+                continue  # teacher too weak to bother cloning
+            distilled.add(env_id)
+            progress = True
+            best, _ = best_of(env_id)
+            cmd = [sys.executable, os.path.join(HERE, "mirror_distill.py"),
+                   env_id]
+            stamp = run_chunk(env_id, cmd,
+                              f"distill from {teacher} ({t_best})", hard)
+            b2, _ = best_of(env_id)
+            print(f"{stamp} {env_id}: distill done, best {best} -> {b2}",
+                  flush=True)
+
+        # expert pipeline next: cheap chunks, whole envs' first policies
         for env_id, tune_t, ship_t, max_chunks in EXPERT_JOBS:
             best, _ = best_of(env_id)
             if best is not None and best >= ship_t:

@@ -202,7 +202,9 @@ def main():
         pred = student_cols(params, stats, ob.T).T
         return jnp.mean((pred - lb) ** 2)
 
-    @jax.jit
+    from functools import partial
+
+    @partial(jax.jit, static_argnums=6)  # n_epochs sizes the key split
     def train_epochs(params, opt_state, stats, ob, lb, key, n_epochs):
         nb = ob.shape[0] // 4096
 
