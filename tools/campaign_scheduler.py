@@ -82,6 +82,19 @@ PPO_JOBS = [
      ["--normalize", "--entropy", "0.001", "--eval-every", "40"]),
     ("AntMuJoCoEnv-v0", 2200.0, 30, 1,
      ["--normalize", "--entropy", "0.003", "--eval-every", "40"]),
+    # Roster completion (round 3): first demo policies for the two envs
+    # with no weights at all. Atlas has no reference reward_threshold —
+    # target a stable stand/shuffle demo; HumanoidMuJoCo's Gym-v2 alive
+    # bonus is 5/step, so 1500 ~ a 300-step stand — a real demo, not the
+    # 6000 Gym "solved" bar.
+    ("AtlasPyBulletEnv-v0", 600.0, 40, 1,
+     ["--normalize", "--entropy", "0.003", "--eval-every", "40",
+      "--hidden", "256,128", "--lr", "2e-4",
+      "--anneal-updates", "60000", "--log-std-init", "-0.7"]),
+    ("HumanoidMuJoCoEnv-v0", 1500.0, 40, 1,
+     ["--normalize", "--entropy", "0.003", "--eval-every", "40",
+      "--hidden", "256,128", "--lr", "2e-4",
+      "--anneal-updates", "60000", "--log-std-init", "-0.7"]),
 ]
 
 # Mirror-walker distillation (tools/mirror_distill.py): identical dynamics
@@ -98,14 +111,44 @@ DISTILL_JOBS = [
 ]
 
 EXPERT_JOBS = [
-    # (env_id, tune_target, ship_target, max_chunks)
-    ("PusherPyBulletEnv-v0", -40.0, -50.0, 10),
-    ("StrikerPyBulletEnv-v0", -160.0, -190.0, 10),
-    ("ThrowerPyBulletEnv-v0", -30.0, -40.0, 10),
-    ("PusherMuJoCoEnv-v0", -30.0, -38.0, 8),
-    ("StrikerMuJoCoEnv-v0", -160.0, -190.0, 8),
-    ("ThrowerMuJoCoEnv-v0", -30.0, -40.0, 8),
+    # (env_id, tune_target, ship_target, max_chunks, weight)
+    # weight = chunks per scheduler cycle: 2 lets an env tune AND clone
+    # (ship its first policy) inside one cycle instead of waiting a full
+    # round-robin lap
+    ("PusherPyBulletEnv-v0", -40.0, -50.0, 10, 2),
+    ("StrikerPyBulletEnv-v0", -160.0, -190.0, 10, 2),
+    ("ThrowerPyBulletEnv-v0", -30.0, -40.0, 10, 2),
+    ("PusherMuJoCoEnv-v0", -30.0, -38.0, 8, 1),
+    ("StrikerMuJoCoEnv-v0", -160.0, -190.0, 8, 1),
+    ("ThrowerMuJoCoEnv-v0", -30.0, -40.0, 8, 1),
 ]
+
+# mirror arms share the controller family AND theta layout with their
+# PyBullet cousins (tools/arm_experts.py ARM_EXPERTS) — seed an untuned
+# mirror from the cousin's tuned theta so its CEM starts near the optimum
+EXPERT_SEEDS = {
+    "PusherMuJoCoEnv-v0": "PusherPyBulletEnv-v0",
+    "StrikerMuJoCoEnv-v0": "StrikerPyBulletEnv-v0",
+    "ThrowerMuJoCoEnv-v0": "ThrowerPyBulletEnv-v0",
+}
+
+
+def seed_expert(env_id):
+    dst = os.path.join(WEIGHTS, env_id + ".expert.json")
+    src_env = EXPERT_SEEDS.get(env_id)
+    if os.path.exists(dst) or src_env is None:
+        return
+    src = os.path.join(WEIGHTS, src_env + ".expert.json")
+    if not os.path.exists(src):
+        return
+    with open(src) as f:
+        theta = json.load(f)["theta"]
+    with open(dst, "w") as f:
+        # score -inf: the seed carries the THETA only — the cousin's score
+        # is on a different env, so the scheduler must still run a tune
+        # (re-evaluating on this env) before cloning
+        json.dump({"theta": theta, "score": -1e18,
+                   "seeded_from": src_env}, f)
 
 
 def best_of(env_id):
@@ -160,6 +203,12 @@ def main():
         for env_id, teacher in DISTILL_JOBS:
             if env_id in distilled:
                 continue
+            if best_of(env_id)[0] is not None:
+                # a policy already shipped (earlier distill or PPO run):
+                # distillation is a one-shot bootstrap, don't redo it on
+                # scheduler restarts — the PPO job continues from here
+                distilled.add(env_id)
+                continue
             t_best, _ = best_of(teacher)
             if t_best is None or t_best < 1000.0:
                 continue  # teacher too weak to bother cloning
@@ -175,31 +224,35 @@ def main():
                   flush=True)
 
         # expert pipeline next: cheap chunks, whole envs' first policies
-        for env_id, tune_t, ship_t, max_chunks in EXPERT_JOBS:
-            best, _ = best_of(env_id)
-            if best is not None and best >= ship_t:
-                continue
-            if chunks_run.get(env_id, 0) >= max_chunks:
-                continue
-            chunks_run[env_id] = chunks_run.get(env_id, 0) + 1
-            progress = True
-            sc = expert_score(env_id)
-            # alternate tune/clone chunks once a first clone shipped, so a
-            # below-ship-target BC keeps refining theta instead of looping
-            retune = best is not None and chunks_run[env_id] % 2 == 1
-            if sc is None or sc < tune_t or retune:
-                cmd = [sys.executable, os.path.join(HERE, "tune_expert.py"),
-                       env_id, "--minutes", str(args.chunk_minutes),
-                       "--gens", "10000", "--resume"]
-                label = f"tune chunk {chunks_run[env_id]} (score {sc})"
-            else:
-                cmd = [sys.executable, os.path.join(HERE, "expert_bc.py"),
-                       env_id, "--hidden", "128"]
-                label = f"bc chunk {chunks_run[env_id]} (theta score {sc})"
-            stamp = run_chunk(env_id, cmd, label, hard)
-            b2, _ = best_of(env_id)
-            print(f"{stamp} {env_id}: {label} done, best {best} -> {b2}",
-                  flush=True)
+        for env_id, tune_t, ship_t, max_chunks, weight in EXPERT_JOBS:
+            seed_expert(env_id)
+            for _ in range(weight):
+                best, _ = best_of(env_id)
+                if best is not None and best >= ship_t:
+                    break
+                if chunks_run.get(env_id, 0) >= max_chunks:
+                    break
+                chunks_run[env_id] = chunks_run.get(env_id, 0) + 1
+                progress = True
+                sc = expert_score(env_id)
+                # alternate tune/clone chunks once a first clone shipped,
+                # so a below-ship-target BC keeps refining theta instead
+                # of looping
+                retune = best is not None and chunks_run[env_id] % 2 == 1
+                if sc is None or sc < tune_t or retune:
+                    cmd = [sys.executable,
+                           os.path.join(HERE, "tune_expert.py"),
+                           env_id, "--minutes", str(args.chunk_minutes),
+                           "--gens", "10000", "--resume"]
+                    label = f"tune chunk {chunks_run[env_id]} (score {sc})"
+                else:
+                    cmd = [sys.executable, os.path.join(HERE, "expert_bc.py"),
+                           env_id, "--hidden", "128"]
+                    label = f"bc chunk {chunks_run[env_id]} (theta score {sc})"
+                stamp = run_chunk(env_id, cmd, label, hard)
+                b2, _ = best_of(env_id)
+                print(f"{stamp} {env_id}: {label} done, best {best} -> {b2}",
+                      flush=True)
 
         for env_id, target, max_chunks, weight, extra in PPO_JOBS:
             for _ in range(weight):

@@ -172,7 +172,15 @@ def main():
     def flatten(obs, lab):
         obs = np.asarray(obs).transpose(0, 2, 1).reshape(-1, obs.shape[1])
         lab = np.asarray(lab).transpose(0, 2, 1).reshape(-1, lab.shape[1])
-        return obs, lab
+        # drop non-finite samples: the physics NaN-guard terminates (and
+        # auto-resets) an env whose state explodes, but the exploded state
+        # itself still lands in the recorded rollout (~1e-3 of Ant samples)
+        # and a single NaN row poisons obs-normalization stats and the BC
+        # loss for the entire dataset
+        ok = np.isfinite(obs).all(1) & np.isfinite(lab).all(1)
+        if not ok.all():
+            print(f"  dropped {int((~ok).sum())} non-finite samples", flush=True)
+        return obs[ok], lab[ok]
 
     datasets = []
     for rnd, sig in enumerate((0.0, 0.1)):
@@ -237,6 +245,7 @@ def main():
             return s2, (s2.reward, s2.terminated | s2.truncated)
 
         _, (r, d) = jax.lax.scan(body, state, None, length=T)
+        r = jnp.where(jnp.isfinite(r), r, 0.0)  # NaN-guard terminal steps
         alive = jnp.cumprod(1.0 - d.astype(jnp.float32), axis=0)
         prev = jnp.concatenate(
             [jnp.ones((1, r.shape[1])), alive[:-1]], axis=0)
@@ -282,6 +291,12 @@ def main():
     if os.path.exists(camp_path):
         with open(camp_path) as f:
             prev_best = float(json.load(f).get("best", -np.inf))
+    finite = np.isfinite(score) and all(
+        np.isfinite(a).all() for wb in best_params for a in wb
+    ) and np.isfinite(best_stats[0]).all() and np.isfinite(best_stats[1]).all()
+    if not finite:
+        print("non-finite score or weights; refusing to ship", flush=True)
+        return
     if score <= prev_best and not args.force:
         print(f"below campaign best ({prev_best:+.1f}); not shipping", flush=True)
         return
