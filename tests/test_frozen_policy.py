@@ -40,6 +40,17 @@ MIN_RETURN = {
     # negative-distance reward; floors anchor the shipped demo instead.
     "ReacherMuJoCoEnv-v0": -14.0,  # BC of the IK expert (expert: -9.4)
     "InvertedDoublePendulumMuJoCoEnv-v0": 9100.0,  # threshold (round 3, CEM)
+    # mirror walkers: distilled from solved PyBullet teachers (round 3);
+    # floors sit well under the 256-episode ship evals (Ant 2565) because
+    # 8-episode means carry the same per-episode variance the PB Ant floor
+    # documents above
+    "AntMuJoCoEnv-v0": 1500.0,
+    "HalfCheetahMuJoCoEnv-v0": 1000.0,  # ship eval 1639 (no termination)
+    # Gym-v2 Hopper healthy bounds (|pitch|<=0.2) cut the PB teacher's
+    # gait short — the BC policy hops ~50 steps; floor anchors that demo
+    # until the PPO job lifts it
+    "HopperMuJoCoEnv-v0": 30.0,
+    "Walker2DMuJoCoEnv-v0": 600.0,  # ship eval 1239 (8-ep variance margin)
 }
 
 
