@@ -46,10 +46,10 @@ LOGDIR = "/tmp/campaign"
 
 PPO_JOBS = [
     # (env_id, target, max_chunks, weight, extra train_campaign args)
-    ("HalfCheetahPyBulletEnv-v0", 3050.0, 60, 2,
+    ("HalfCheetahPyBulletEnv-v0", 3050.0, 60, 3,
      ["--normalize", "--entropy", "0.001", "--lr", "1e-4",
       "--eval-every", "40"]),
-    ("Walker2DPyBulletEnv-v0", 2550.0, 60, 2,
+    ("Walker2DPyBulletEnv-v0", 2550.0, 60, 3,
      ["--normalize", "--entropy", "0.005", "--hidden", "128,128",
       "--anneal-updates", "30000", "--log-std-init", "-0.7",
       "--eval-every", "40"]),
@@ -65,9 +65,8 @@ PPO_JOBS = [
      ["--normalize", "--entropy", "0.003", "--eval-every", "40",
       "--hidden", "256,128", "--lr", "2e-4",
       "--anneal-updates", "60000", "--log-std-init", "-0.7"]),
-    ("HopperPyBulletEnv-v0", 2650.0, 12, 1,
-     ["--normalize", "--entropy", "0.001", "--lr", "5e-5",
-      "--eval-every", "40"]),
+    # (HopperPyBulletEnv polish job dropped round 4: 2576 already clears
+    # the 2500 threshold — chunks go to the below-threshold walkers instead)
     # MuJoCo-mirror walkers: first demo policies (registry thresholds are
     # the full Gym-v2 "solved" bars — 3800/4800/6000 — far beyond what a
     # scheduler slot buys; these targets are demo-quality gaits, and the
@@ -95,6 +94,16 @@ PPO_JOBS = [
      ["--normalize", "--entropy", "0.003", "--eval-every", "40",
       "--hidden", "256,128", "--lr", "2e-4",
       "--anneal-updates", "60000", "--log-std-init", "-0.7"]),
+    # PPO polish for the PB arm envs (round 4): dense negative-distance
+    # rewards are easy PPO food — may beat the scripted-expert BC; the
+    # best-guard keeps whichever is better. Runs after the expert pipeline
+    # has shipped a first policy (EXPERT_JOBS precede PPO in the cycle).
+    ("PusherPyBulletEnv-v0", -45.0, 6, 1,
+     ["--normalize", "--entropy", "0.003", "--eval-every", "40"]),
+    ("StrikerPyBulletEnv-v0", -130.0, 6, 1,
+     ["--normalize", "--entropy", "0.003", "--eval-every", "40"]),
+    ("ThrowerPyBulletEnv-v0", -25.0, 6, 1,
+     ["--normalize", "--entropy", "0.003", "--eval-every", "40"]),
 ]
 
 # Mirror-walker distillation (tools/mirror_distill.py): identical dynamics
@@ -230,25 +239,31 @@ def main():
                 best, _ = best_of(env_id)
                 if best is not None and best >= ship_t:
                     break
-                if chunks_run.get(env_id, 0) >= max_chunks:
+                if chunks_run.get(("expert", env_id), 0) >= max_chunks:
                     break
-                chunks_run[env_id] = chunks_run.get(env_id, 0) + 1
+                chunks_run[("expert", env_id)] = chunks_run.get(("expert", env_id), 0) + 1
                 progress = True
                 sc = expert_score(env_id)
                 # alternate tune/clone chunks once a first clone shipped,
                 # so a below-ship-target BC keeps refining theta instead
                 # of looping
-                retune = best is not None and chunks_run[env_id] % 2 == 1
-                if sc is None or sc < tune_t or retune:
+                retune = best is not None and chunks_run[("expert", env_id)] % 2 == 1
+                # ship-first: if CEM plateaus below tune_target (targets are
+                # guesses — round 4: Pusher stuck at -58 vs -40), clone the
+                # best theta anyway after two tune chunks so the env gets a
+                # first policy instead of burning its whole budget tuning
+                force_clone = (best is None and sc is not None
+                               and chunks_run[("expert", env_id)] >= 2)
+                if not force_clone and (sc is None or sc < tune_t or retune):
                     cmd = [sys.executable,
                            os.path.join(HERE, "tune_expert.py"),
                            env_id, "--minutes", str(args.chunk_minutes),
                            "--gens", "10000", "--resume"]
-                    label = f"tune chunk {chunks_run[env_id]} (score {sc})"
+                    label = f"tune chunk {chunks_run[("expert", env_id)]} (score {sc})"
                 else:
                     cmd = [sys.executable, os.path.join(HERE, "expert_bc.py"),
                            env_id, "--hidden", "128"]
-                    label = f"bc chunk {chunks_run[env_id]} (theta score {sc})"
+                    label = f"bc chunk {chunks_run[("expert", env_id)]} (theta score {sc})"
                 stamp = run_chunk(env_id, cmd, label, hard)
                 b2, _ = best_of(env_id)
                 print(f"{stamp} {env_id}: {label} done, best {best} -> {b2}",
@@ -259,18 +274,18 @@ def main():
                 best, iters = best_of(env_id)
                 if best is not None and best >= target:
                     break
-                if chunks_run.get(env_id, 0) >= max_chunks:
+                if chunks_run.get(("ppo", env_id), 0) >= max_chunks:
                     break
-                chunks_run[env_id] = chunks_run.get(env_id, 0) + 1
+                chunks_run[("ppo", env_id)] = chunks_run.get(("ppo", env_id), 0) + 1
                 progress = True
                 cmd = [sys.executable, os.path.join(HERE, "train_campaign.py"),
                        env_id, "--minutes", str(args.chunk_minutes),
                        "--target", str(target)] + extra
                 stamp = run_chunk(
                     env_id, cmd,
-                    f"chunk {chunks_run[env_id]} (best so far: {best})", hard)
+                    f"chunk {chunks_run[("ppo", env_id)]} (best so far: {best})", hard)
                 b2, it2 = best_of(env_id)
-                print(f"{stamp} {env_id}: chunk {chunks_run[env_id]} done, "
+                print(f"{stamp} {env_id}: chunk {chunks_run[("ppo", env_id)]} done, "
                       f"best {best} -> {b2} (iters {it2})", flush=True)
 
         if not progress:
