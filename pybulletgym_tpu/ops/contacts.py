@@ -58,6 +58,13 @@ class SolverConfig:
     limit_erp: float = 0.2           # joint-limit velocity-level ERP
     slop: float = 1e-4               # allowed penetration (m)
     restitution: float = 0.5         # floor restitution
+    # Body-side restitution, Bullet's default for anything that never calls
+    # changeDynamics(restitution=…) — i.e. every robot link the reference
+    # loads. Bullet combines restitution MULTIPLICATIVELY
+    # (btManifoldResult::calculateCombinedRestitution = e_a · e_b), so the
+    # stadium ground's 0.5 × link 0.0 = 0: reference robots never bounce.
+    # Raise this for genuinely bouncy bodies (tests/test_physics_units.py).
+    geom_restitution: float = 0.0
     rest_threshold: float = 0.2      # min approach speed (m/s) for bounce
     floor_friction: float = 0.8      # ground lateral friction (Bullet combines
                                      # by multiplication with the geom's own)
@@ -490,10 +497,28 @@ def solve_packed(
         R = pc.depth.shape[0]
         dinv = 1.0 / (jnp.einsum("rid...,rid...->ri...", J, w_sol) + cfg.regularization)
         vn_pre = jnp.einsum("rd...,d...->r...", J[:, 0], v)
-        bounce = jnp.where(
-            vn_pre < -cfg.rest_threshold, -cfg.restitution * vn_pre, 0.0
-        )
-        b_vel = jnp.where(pc.depth > 0.0, bounce, pc.depth / dt)
+        e_comb = cfg.restitution * cfg.geom_restitution
+        if e_comb == 0.0:
+            # Bullet-combined restitution is zero (the reference case for
+            # every robot: ground 0.5 × link 0.0): contacts absorb impacts.
+            b_vel = jnp.where(pc.depth > 0.0, 0.0, pc.depth / dt)
+        else:
+            bounce = jnp.where(
+                vn_pre < -cfg.rest_threshold, -e_comb * vn_pre, 0.0
+            )
+            # Speculative rows (depth ≤ 0) whose approach closes the gap
+            # within this step ARE the impact step: Bullet (no CCD) would
+            # penetrate and bounce next solve, but our pre-integration
+            # narrowphase lands the body exactly on the surface, so gating
+            # bounce on depth>0 made clean touchdowns land dead
+            # (tests/test_physics_units.py sphere drop). Fire restitution
+            # when the gap closes this step; slow approaches keep the plain
+            # speculative allowance (touch, no bounce).
+            touching = pc.depth >= vn_pre * dt
+            b_vel = jnp.where(
+                pc.depth > 0.0, bounce,
+                jnp.where((bounce > 0.0) & touching, bounce, pc.depth / dt),
+            )
         b_pos = (cfg.erp / dt) * (pc.depth - cfg.slop)
         mu = jnp.asarray(pc.mu)[:, None]
 
@@ -640,11 +665,23 @@ def solve_scalar(
             dt1 = 1.0 / (_sdot(Jt1, wt1) + cfg.regularization)
             dt2 = 1.0 / (_sdot(Jt2, wt2) + cfg.regularization)
             vn_pre = _sdot(Jn, v)
-            bounce = jnp.where(
-                vn_pre < -cfg.rest_threshold, -cfg.restitution * vn_pre, zero
-            )
             depth = sc.depth[r]
-            b_vel = jnp.where(depth > 0.0, bounce, depth / dt)
+            e_comb = cfg.restitution * cfg.geom_restitution
+            if e_comb == 0.0:
+                # reference case: Bullet-combined restitution 0 (see
+                # solve_packed) — contacts absorb impacts
+                b_vel = jnp.where(depth > 0.0, zero, depth / dt)
+            else:
+                bounce = jnp.where(
+                    vn_pre < -cfg.rest_threshold, -e_comb * vn_pre, zero
+                )
+                # impact restitution for speculative rows — same rule as
+                # solve_packed: a gap that closes within this step bounces
+                touching = depth >= vn_pre * dt
+                b_vel = jnp.where(
+                    depth > 0.0, bounce,
+                    jnp.where((bounce > 0.0) & touching, bounce, depth / dt),
+                )
             b_pos = (cfg.erp / dt) * (depth - cfg.slop)
             sol.append((Jn, Jt1, Jt2, wn, wt1, wt2, dn, dt1, dt2, b_vel, b_pos, sc.mu[r]))
 
