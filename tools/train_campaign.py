@@ -242,7 +242,12 @@ def _drive(args, deadline, meta, state, es, step_j, evaluate, eval_params,
     hits = 0
     first = True
     apply = _APPLY[args.algo]
-    while time.time() < deadline:
+    # `first or …`: pre-loop setup (env-reset compile, checkpoint load) can
+    # exceed the whole minutes budget on a cold cache — the deadline only
+    # resets after the first completed iteration, so without this guard a
+    # cold chunk trains for ZERO iterations (observed round 4 after the
+    # contacts change invalidated every cached program)
+    while first or time.time() < deadline:
         state, es, m = step_j(state, es)
         if first:
             # cold compiles can eat many minutes (and the axon compile
