@@ -48,6 +48,12 @@ def main():
     ap.add_argument("--weights", default=None)
     ap.add_argument("--render", default=None,
                     help="save frames of the first episode to this .npy")
+    ap.add_argument("--gif", default=None,
+                    help="save the first episode as an animated GIF "
+                    "(every --gif-stride-th frame)")
+    ap.add_argument("--gif-stride", type=int, default=4)
+    ap.add_argument("--max-steps", type=int, default=0,
+                    help="cap rollout length (0 = episode limit)")
     args = ap.parse_args()
 
     import pybulletgym_tpu as pg
@@ -59,6 +65,8 @@ def main():
     env = pg.make(args.env_id)
 
     frames = []
+    capture = args.render or args.gif
+    stride = args.gif_stride if args.gif else 1  # --render keeps every frame
     for ep in range(args.episodes):
         obs, _ = env.reset(seed=ep)
         total, steps = 0.0, 0
@@ -66,15 +74,23 @@ def main():
             obs, r, term, trunc, _ = env.step(pi.act(obs))
             total += r
             steps += 1
-            if args.render and ep == 0:
+            if capture and ep == 0 and steps % stride == 0:
                 frames.append(env.render())
-            if term or trunc:
+            if term or trunc or (args.max_steps and steps >= args.max_steps):
                 break
         print(f"episode {ep}: return {total:+.1f} in {steps} steps")
 
     if args.render and frames:
         np.save(args.render, np.stack(frames))
         print(f"saved {len(frames)} frames to {args.render}")
+    if args.gif and frames:
+        from PIL import Image
+
+        ims = [Image.fromarray(f) for f in frames]
+        ims[0].save(args.gif, save_all=True, append_images=ims[1:],
+                    duration=int(1000 * args.gif_stride / 60), loop=0,
+                    optimize=True)
+        print(f"saved {len(ims)}-frame gif to {args.gif}")
 
 
 if __name__ == "__main__":

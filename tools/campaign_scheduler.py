@@ -80,8 +80,10 @@ PPO_JOBS = [
     # iters at lr 1e-4) — switch to SAC (off-policy shines on the dense
     # no-termination cheetah). The best-guard keeps the 2442 PPO npz until
     # SAC beats it; the PPO trainstate stays on disk for fallback.
+    # 256,256 actor/critics: the canonical SAC capacity — the 64,64
+    # default is the PPO net and undersells the off-policy run
     ("HalfCheetahPyBulletEnv-v0", 3050.0, 60, 3,
-     ["--algo", "sac", "--eval-every", "40"]),
+     ["--algo", "sac", "--hidden", "256,256", "--eval-every", "40"]),
     ("Walker2DPyBulletEnv-v0", 2550.0, 60, 3,
      ["--normalize", "--entropy", "0.005", "--hidden", "128,128",
       "--anneal-updates", "30000", "--log-std-init", "-0.7",
@@ -285,26 +287,28 @@ def main():
                 chunks_run[("expert", env_id)] = chunks_run.get(("expert", env_id), 0) + 1
                 progress = True
                 sc = expert_score(env_id)
-                # alternate tune/clone chunks once a first clone shipped,
-                # so a below-ship-target BC keeps refining theta instead
-                # of looping
-                retune = best is not None and chunks_run[("expert", env_id)] % 2 == 1
-                # ship-first: if CEM plateaus below tune_target (targets are
-                # guesses — round 4: Pusher stuck at -58 vs -40), clone the
-                # best theta anyway after two tune chunks so the env gets a
-                # first policy instead of burning its whole budget tuning
-                force_clone = (best is None and sc is not None
-                               and chunks_run[("expert", env_id)] >= 2)
-                if not force_clone and (sc is None or sc < tune_t or retune):
+                # strict tune/clone alternation: odd chunks refine theta
+                # (CEM resume), even chunks behavior-clone whatever theta
+                # exists — BC is cheap and the campaign best-guard keeps
+                # the shipped npz monotone, so an "unnecessary" clone costs
+                # one chunk while a missed clone (round-4 bug: clones were
+                # gated on sc >= tune_target, and the recalibrated targets
+                # SIT at the measured CEM plateaus) starves the env of a
+                # policy entirely. Exception: clone early once the tune
+                # target is already met.
+                n = chunks_run[("expert", env_id)]
+                do_clone = sc is not None and (
+                    (sc >= tune_t and best is None) or n % 2 == 0)
+                if not do_clone:
                     cmd = [sys.executable,
                            os.path.join(HERE, "tune_expert.py"),
                            env_id, "--minutes", str(args.chunk_minutes),
                            "--gens", "10000", "--resume"]
-                    label = f"tune chunk {chunks_run[("expert", env_id)]} (score {sc})"
+                    label = f"tune chunk {n} (score {sc})"
                 else:
                     cmd = [sys.executable, os.path.join(HERE, "expert_bc.py"),
                            env_id, "--hidden", "128"]
-                    label = f"bc chunk {chunks_run[("expert", env_id)]} (theta score {sc})"
+                    label = f"bc chunk {n} (theta score {sc})"
                 stamp = run_chunk(env_id, cmd, label, hard)
                 b2, _ = best_of(env_id)
                 print(f"{stamp} {env_id}: {label} done, best {best} -> {b2}",
