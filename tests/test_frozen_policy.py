@@ -51,6 +51,11 @@ MIN_RETURN = {
     # until the PPO job lifts it
     "HopperMuJoCoEnv-v0": 30.0,
     "Walker2DMuJoCoEnv-v0": 600.0,  # ship eval 1239 (8-ep variance margin)
+    # PB arm envs (round 4, CEM expert + DAgger BC; ship evals over 1536
+    # episodes — floors leave margin for the 8-episode test mean)
+    "PusherPyBulletEnv-v0": -80.0,  # ship eval -63.95
+    "StrikerPyBulletEnv-v0": -300.0,  # ship eval -260.7
+    "ThrowerPyBulletEnv-v0": -80.0,  # ship eval -62.65
 }
 
 
