@@ -56,6 +56,17 @@ MIN_RETURN = {
     "PusherPyBulletEnv-v0": -80.0,  # ship eval -63.95
     "StrikerPyBulletEnv-v0": -300.0,  # ship eval -260.7
     "ThrowerPyBulletEnv-v0": -80.0,  # ship eval -62.65
+    "PusherMuJoCoEnv-v0": -60.0,  # ship eval -44.26
+    "StrikerMuJoCoEnv-v0": -300.0,  # ship eval -261.7
+    "ThrowerMuJoCoEnv-v0": -80.0,  # ship eval -62.85
+    # humanoid family + Atlas (round 4, first PPO chunks): floors are
+    # catastrophic-regression guards well under the 64-episode ship evals
+    # (these demos are early gaits with high per-episode variance)
+    "HumanoidPyBulletEnv-v0": 150.0,  # ship eval 316
+    "HumanoidFlagrunPyBulletEnv-v0": 80.0,  # ship eval 207
+    "HumanoidFlagrunHarderPyBulletEnv-v0": -250.0,  # ship 194, ep min -518
+    "AtlasPyBulletEnv-v0": 40.0,  # ship eval 109
+    "HumanoidMuJoCoEnv-v0": 300.0,  # ship eval 621
 }
 
 
