@@ -46,21 +46,10 @@ LOGDIR = "/tmp/campaign"
 
 PPO_JOBS = [
     # (env_id, target, max_chunks, weight, extra train_campaign args)
-    # Round-4 ordering: ONE cycle ~ one round, so the list is ordered by
-    # judge impact — envs with NO shipped policy first (roster coverage
-    # beats polishing an existing number), threshold polish second,
-    # mirror-quality lifts last. Under a degraded compile service each
-    # env's FIRST chunk can cost 10-35 min of compile, so depth on the two
-    # headline jobs (Humanoid first policy, HalfCheetah threshold) beats
-    # one starved chunk each across six envs.
-    ("HumanoidPyBulletEnv-v0", 2500.0, 80, 2,
-     ["--normalize", "--entropy", "0.003", "--eval-every", "40",
-      "--hidden", "256,128", "--lr", "2e-4",
-      "--anneal-updates", "60000", "--log-std-init", "-0.7"]),
-    # 256,256 actor/critics: the canonical SAC capacity — the 64,64
-    # default is the PPO net and undersells the off-policy run
-    ("HalfCheetahPyBulletEnv-v0", 3050.0, 60, 2,
-     ["--algo", "sac", "--hidden", "256,256", "--eval-every", "40"]),
+    # Round-4 final ordering: ONE cycle ~ one round and each env's first
+    # chunk pays its own compile, so no-policy envs (roster coverage)
+    # lead, the HalfCheetah/Humanoid headline lifts follow, and
+    # mirror-quality polish trails.
     ("HumanoidFlagrunPyBulletEnv-v0", 2000.0, 80, 1,
      ["--normalize", "--entropy", "0.003", "--eval-every", "40",
       "--hidden", "256,128", "--lr", "2e-4",
@@ -79,6 +68,14 @@ PPO_JOBS = [
       "--hidden", "256,128", "--lr", "2e-4",
       "--anneal-updates", "60000", "--log-std-init", "-0.7"]),
     ("HumanoidMuJoCoEnv-v0", 1500.0, 40, 1,
+     ["--normalize", "--entropy", "0.003", "--eval-every", "40",
+      "--hidden", "256,128", "--lr", "2e-4",
+      "--anneal-updates", "60000", "--log-std-init", "-0.7"]),
+    # 256,256 actor/critics: the canonical SAC capacity — the 64,64
+    # default is the PPO net and undersells the off-policy run
+    ("HalfCheetahPyBulletEnv-v0", 3050.0, 60, 2,
+     ["--algo", "sac", "--hidden", "256,256", "--eval-every", "40"]),
+    ("HumanoidPyBulletEnv-v0", 2500.0, 80, 2,
      ["--normalize", "--entropy", "0.003", "--eval-every", "40",
       "--hidden", "256,128", "--lr", "2e-4",
       "--anneal-updates", "60000", "--log-std-init", "-0.7"]),
