@@ -46,11 +46,28 @@ LOGDIR = "/tmp/campaign"
 
 PPO_JOBS = [
     # (env_id, target, max_chunks, weight, extra train_campaign args)
-    # Round-4 final ordering: ONE cycle ~ one round and each env's first
-    # chunk pays its own compile, so no-policy envs (roster coverage)
-    # lead, the HalfCheetah/Humanoid headline lifts follow, and
-    # mirror-quality polish trails.
-    ("HumanoidFlagrunPyBulletEnv-v0", 2000.0, 80, 1,
+    # Round-5 ordering (VERDICT r4 item 1): the three open PyBullet
+    # thresholds lead with heavy weights — HalfCheetah SAC (round 4 hit
+    # eval ~2000 in 2 chunks from scratch; /tmp ck lost, learner now
+    # persists in-repo), Walker2D 128,128 fresh, HopperMuJoCo's broken
+    # demo. Humanoid-family quality lifts follow; mirror polish trails.
+    ("HalfCheetahPyBulletEnv-v0", 3050.0, 60, 3,
+     ["--algo", "sac", "--hidden", "256,256", "--eval-every", "40"]),
+    ("Walker2DPyBulletEnv-v0", 2550.0, 60, 2,
+     ["--normalize", "--entropy", "0.005", "--hidden", "128,128",
+      "--anneal-updates", "30000", "--log-std-init", "-0.7",
+      "--eval-every", "40"]),
+    # HopperMuJoCo's distilled policy is broken (69 — Gym-v2 healthy bounds
+    # cut the PB gait short): effectively a no-policy env, PPO from scratch
+    ("HopperMuJoCoEnv-v0", 1800.0, 30, 2,
+     ["--normalize", "--entropy", "0.003", "--eval-every", "40"]),
+    # Humanoid family: the reference's marquee demos (SURVEY §3.5).
+    # 4.25x step cost — resumes continue round-4 trainstates.
+    ("HumanoidPyBulletEnv-v0", 2500.0, 80, 2,
+     ["--normalize", "--entropy", "0.003", "--eval-every", "40",
+      "--hidden", "256,128", "--lr", "2e-4",
+      "--anneal-updates", "60000", "--log-std-init", "-0.7"]),
+    ("HumanoidFlagrunPyBulletEnv-v0", 2000.0, 80, 2,
      ["--normalize", "--entropy", "0.003", "--eval-every", "40",
       "--hidden", "256,128", "--lr", "2e-4",
       "--anneal-updates", "60000", "--log-std-init", "-0.7"]),
@@ -58,40 +75,14 @@ PPO_JOBS = [
      ["--normalize", "--entropy", "0.003", "--eval-every", "40",
       "--hidden", "256,128", "--lr", "2e-4",
       "--anneal-updates", "60000", "--log-std-init", "-0.7"]),
-    # Roster completion (round 3): first demo policies for the two envs
-    # with no weights at all. Atlas has no reference reward_threshold —
-    # target a stable stand/shuffle demo; HumanoidMuJoCo's Gym-v2 alive
-    # bonus is 5/step, so 1500 ~ a 300-step stand — a real demo, not the
-    # 6000 Gym "solved" bar.
-    ("AtlasPyBulletEnv-v0", 600.0, 40, 1,
-     ["--normalize", "--entropy", "0.003", "--eval-every", "40",
-      "--hidden", "256,128", "--lr", "2e-4",
-      "--anneal-updates", "60000", "--log-std-init", "-0.7"]),
     ("HumanoidMuJoCoEnv-v0", 1500.0, 40, 1,
      ["--normalize", "--entropy", "0.003", "--eval-every", "40",
       "--hidden", "256,128", "--lr", "2e-4",
       "--anneal-updates", "60000", "--log-std-init", "-0.7"]),
-    # 256,256 actor/critics: the canonical SAC capacity — the 64,64
-    # default is the PPO net and undersells the off-policy run
-    ("HalfCheetahPyBulletEnv-v0", 3050.0, 60, 2,
-     ["--algo", "sac", "--hidden", "256,256", "--eval-every", "40"]),
-    ("HumanoidPyBulletEnv-v0", 2500.0, 80, 2,
+    ("AtlasPyBulletEnv-v0", 600.0, 40, 1,
      ["--normalize", "--entropy", "0.003", "--eval-every", "40",
       "--hidden", "256,128", "--lr", "2e-4",
       "--anneal-updates", "60000", "--log-std-init", "-0.7"]),
-    # --- threshold polish (existing policies below their reference bars) ---
-    # (HalfCheetah SAC job moved up: PPO is CONVERGED at ~2420, SAC
-    # attempts the 3000 threshold with headline-job priority.)
-    ("Walker2DPyBulletEnv-v0", 2550.0, 60, 2,
-     ["--normalize", "--entropy", "0.005", "--hidden", "128,128",
-      "--anneal-updates", "30000", "--log-std-init", "-0.7",
-      "--eval-every", "40"]),
-    # (HopperPyBulletEnv polish job dropped round 4: 2576 already clears
-    # the 2500 threshold — chunks go to the below-threshold walkers instead)
-    # HopperMuJoCo's distilled policy is broken (69 — Gym-v2 healthy bounds
-    # cut the PB gait short): effectively a no-policy env, PPO from scratch
-    ("HopperMuJoCoEnv-v0", 1800.0, 30, 2,
-     ["--normalize", "--entropy", "0.003", "--eval-every", "40"]),
     # MuJoCo-mirror walkers: quality lifts (registry thresholds are the
     # full Gym-v2 "solved" bars — 3800/4800/6000 — far beyond what a
     # scheduler slot buys; these targets are demo-quality gaits, and the
@@ -102,12 +93,10 @@ PPO_JOBS = [
       "--eval-every", "40"]),
     ("HalfCheetahMuJoCoEnv-v0", 2200.0, 30, 1,
      ["--normalize", "--entropy", "0.001", "--eval-every", "40"]),
-    ("AntMuJoCoEnv-v0", 2200.0, 30, 1,
-     ["--normalize", "--entropy", "0.003", "--eval-every", "40"]),
-    # PPO polish for the PB arm envs (round 4): dense negative-distance
-    # rewards are easy PPO food — may beat the scripted-expert BC; the
-    # best-guard keeps whichever is better. Runs after the expert pipeline
-    # has shipped a first policy (EXPERT_JOBS precede PPO in the cycle).
+    # (AntMuJoCo dropped: distilled 2564 cleared its 2200 target.)
+    # PPO polish for the PB arm envs: dense negative-distance rewards are
+    # easy PPO food — may beat the scripted-expert BC; the best-guard
+    # keeps whichever is better.
     ("PusherPyBulletEnv-v0", -45.0, 6, 1,
      ["--normalize", "--entropy", "0.003", "--eval-every", "40"]),
     ("StrikerPyBulletEnv-v0", -130.0, 6, 1,

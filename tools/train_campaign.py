@@ -9,9 +9,13 @@ deterministic policy on full episodes every `--eval-every` iterations, and
 keeps the BEST-scoring weights on disk — PPO can regress late, the shipped
 demo should not.
 
-Re-running resumes from the saved TrainState (SAC rings are checkpointed
-under /tmp — replay buffers do not belong in git). Stops early once the
-mean eval return reaches `--target` on two consecutive evals.
+Re-running resumes from the saved TrainState. SAC state is split: the
+learner (actor/critics/opts, a few MB) checkpoints into the repo weights
+dir and SURVIVES sandbox teardown; the replay ring (~0.5 GB) stays in /tmp
+as a fast-resume bonus only — losing it costs one warmup refill, not the
+policy (round-4 lesson: a /tmp-only checkpoint lost an eval-2000 run).
+Stops early once the mean eval return reaches `--target` on two
+consecutive evals.
 
 Usage:
     python tools/train_campaign.py HalfCheetahPyBulletEnv-v0 \
@@ -185,6 +189,7 @@ def run_sac(args, deadline):
     )
     os.makedirs(SAC_CK_DIR, exist_ok=True)
     ck = os.path.join(SAC_CK_DIR, args.env_id + ".sacstate.npz")
+    light_ck = os.path.join(WEIGHTS_DIR, args.env_id + ".saclearner.npz")
     best_path = os.path.join(WEIGHTS_DIR, args.env_id + ".npz")
     meta_path = os.path.join(WEIGHTS_DIR, args.env_id + ".campaign.json")
 
@@ -199,13 +204,35 @@ def run_sac(args, deadline):
     if os.path.exists(meta_path):
         with open(meta_path) as f:
             meta = json.load(f)
+
+    def learner_of(ss):
+        # everything except the replay ring — small enough for the repo
+        return (ss.actor, ss.critics, ss.targets, ss.log_alpha,
+                ss.opt_actor, ss.opt_critic, ss.opt_alpha, ss.key)
+
+    resumed = False
     if os.path.exists(ck):
         try:
             ss = checkpoint.load(ck, ss)
-            print(f"resumed sacstate ({meta})", flush=True)
+            resumed = True
+            print(f"resumed full sacstate ({meta})", flush=True)
         except ValueError as e:
-            print(f"checkpoint incompatible ({e}); fresh start", flush=True)
-            meta = {"best": float(meta["best"]), "iters": 0}
+            print(f"ring checkpoint incompatible ({e})", flush=True)
+    if not resumed and os.path.exists(light_ck):
+        try:
+            lt = checkpoint.load(light_ck, learner_of(ss))
+            ss = ss._replace(
+                actor=lt[0], critics=lt[1], targets=lt[2], log_alpha=lt[3],
+                opt_actor=lt[4], opt_critic=lt[5], opt_alpha=lt[6], key=lt[7],
+            )
+            resumed = True
+            print(f"resumed learner, ring lost — refilling ({meta})",
+                  flush=True)
+        except ValueError as e:
+            print(f"learner checkpoint incompatible ({e}); fresh start",
+                  flush=True)
+    if not resumed:
+        meta = {"best": float(meta["best"]), "iters": 0}
     es = env.reset(seed=args.seed + int(meta["iters"]))
     evaluate = make_eval_fn(args.env_id, args.eval_episodes)
 
@@ -227,9 +254,12 @@ def run_sac(args, deadline):
     es = jax.tree.map(lambda x: jnp.asarray(x).copy(), es)
     step_j = jax.jit(iteration, donate_argnums=(0, 1))
 
+    def save_ck(ss):
+        checkpoint.save(ck, ss)                      # ring: /tmp, best effort
+        checkpoint.save(light_ck, learner_of(ss))    # learner: repo, durable
+
     return _drive(args, deadline, meta, ss, es, step_j, evaluate,
-                  eval_params, save_best,
-                  lambda ss: checkpoint.save(ck, ss), meta_path,
+                  eval_params, save_best, save_ck, meta_path,
                   steps_per_iter=cfg.steps_per_iter)
 
 
