@@ -111,6 +111,165 @@ def full_self_collision_pairs(model, exclude_geoms: Tuple[str, ...] = ()):
 
 
 # ---------------------------------------------------------------------------
+# compile-time reachability pruning of self-collision pairs
+# ---------------------------------------------------------------------------
+#
+# The static pair plan pays every candidate every substep on vector hardware
+# (no per-env branch wins on a TPU), so the only real lever is removing pairs
+# that can NEVER touch. This is the compile-time analog of the dynamic DBVT
+# broadphase culling Bullet does per step [ref: SURVEY §2.2 collision row]:
+# instead of testing AABBs at runtime, we bound each geom's reachable volume
+# over the WHOLE joint-limit box once, at plan-build time.
+#
+# Method: express both geoms of a pair in their lowest-common-ancestor body
+# frame (the free root joint is at/above every LCA, so base pose drops out).
+# Each geom is covered by a few balls; walking a ball up one kinematic level
+# applies the body's joint over its full limit interval: a rotation about
+# axis u by theta in [mid-d, mid+d] maps ball (c, r) into the ball centered
+# at the mid-angle position with radius r + 2*|c_perp|*sin(min(d, pi)/2)
+# (the chord bound — exact for the arc's extremes), then the static
+# pos/quat offset into the parent frame. The result is a rigorous outer
+# bound of the geom's reachable set in the LCA frame; if the bounds of the
+# two geoms stay farther apart than `clearance`, the pair's contact row can
+# never produce an impulse and is dropped from the plan.
+#
+# Joint limits here are enforced softly (velocity-level rows, limit_erp),
+# so ranges are widened by `limit_slack_frac`/`limit_slack_abs` before
+# bounding; tests/test_reach_prune.py checks the slack against measured
+# overshoot and samples the widened box to confirm pruned pairs never touch.
+
+
+def _ball_cover_of_geom(g, k: int = 3):
+    """Cover a sphere/capsule/cylinder geom with <=k balls (body frame)."""
+    if g.gtype == GeomType.SPHERE:
+        return [(np.asarray(g.pos, np.float64), float(g.size[0]))]
+    axis = _quat_np_to_mat(g.quat) @ np.array([0.0, 0.0, 1.0])
+    hl, r = float(g.size[1]), float(g.size[0])
+    sub = hl / k
+    return [
+        (np.asarray(g.pos, np.float64) + (-hl + (2 * i + 1) * sub) * axis,
+         sub + r)
+        for i in range(k)
+    ]
+
+
+def _reach_ball_up(model, body_idx: int, ball, slack_frac: float,
+                   slack_abs: float):
+    """Map ball=(c, r) from body_idx's frame into its parent's frame,
+    over the body's whole (widened) joint interval. None = unboundable."""
+    b = model.bodies[body_idx]
+    c, r = ball
+    if b.jtype == JointType.FREE:
+        return None
+    d = b.v_adr
+    if model.jnt_limited[d]:
+        lo, hi = float(model.jnt_range[d, 0]), float(model.jnt_range[d, 1])
+        half = (hi - lo) / 2.0
+        pad = slack_frac * (hi - lo) + slack_abs
+        mid = (lo + hi) / 2.0 - b.jref
+        half = half + pad
+    else:
+        mid, half = 0.0, np.inf
+    u = np.asarray(b.jaxis, np.float64)
+    u = u / np.linalg.norm(u)
+    if b.jtype == JointType.HINGE:
+        jp = np.asarray(b.jpos, np.float64)
+        rel = c - jp
+        axial = (rel @ u) * u
+        perp = rel - axial
+        pn = float(np.linalg.norm(perp))
+        # rotate rel by the mid angle (Rodrigues)
+        ct, st = np.cos(mid), np.sin(mid)
+        rot = rel * ct + np.cross(u, rel) * st + u * (rel @ u) * (1.0 - ct)
+        c = jp + rot
+        r = r + 2.0 * pn * np.sin(min(half, np.pi) / 2.0)
+    else:  # SLIDE
+        if not np.isfinite(half):
+            return None
+        c = c + u * mid
+        r = r + half
+    c = np.asarray(b.pos, np.float64) + _quat_np_to_mat(b.quat) @ c
+    return c, r
+
+
+def _lca(model, a: int, b: int):
+    anc_a = []
+    i = a
+    while i >= 0:
+        anc_a.append(i)
+        i = model.bodies[i].parent
+    seen = set(anc_a)
+    i = b
+    while i >= 0:
+        if i in seen:
+            return i
+        i = model.bodies[i].parent
+    return None
+
+
+def reach_bound_balls(model, geom, lca: int, *, slack_frac: float = 0.2,
+                      slack_abs: float = 0.15, cover: int = 3):
+    """Outer ball bounds of `geom`'s reachable set in the `lca` body frame
+    over the widened joint-limit box, or None if unboundable."""
+    balls = _ball_cover_of_geom(geom, cover)
+    i = geom.body
+    while i != lca:
+        nxt = []
+        for ball in balls:
+            up = _reach_ball_up(model, i, ball, slack_frac, slack_abs)
+            if up is None:
+                return None
+            nxt.append(up)
+        balls = nxt
+        i = model.bodies[i].parent
+    return balls
+
+
+def prune_pairs_by_reach(
+    model,
+    pairs: Tuple[Tuple[str, str], ...],
+    *,
+    clearance: float = 0.03,
+    slack_frac: float = 0.2,
+    slack_abs: float = 0.15,
+    cover: int = 3,
+) -> Tuple[Tuple[Tuple[str, str], ...], Tuple[Tuple[str, str], ...]]:
+    """Split `pairs` into (kept, pruned): pruned pairs provably stay
+    > clearance apart for every configuration in the widened joint-limit
+    box, so their PGS rows would clamp to zero impulse forever."""
+    byname = {g.name: g for g in model.geoms}
+    kept, pruned = [], []
+    cache = {}
+    for na, nb in pairs:
+        ga, gb = byname[na], byname[nb]
+        lca = _lca(model, ga.body, gb.body)
+        if lca is None:
+            kept.append((na, nb))
+            continue
+
+        def bound(g):
+            key = (g.name, lca)
+            if key not in cache:
+                cache[key] = reach_bound_balls(
+                    model, g, lca, slack_frac=slack_frac,
+                    slack_abs=slack_abs, cover=cover,
+                )
+            return cache[key]
+
+        ba, bb = bound(ga), bound(gb)
+        if ba is None or bb is None:
+            kept.append((na, nb))
+            continue
+        dmin = min(
+            float(np.linalg.norm(ca - cb)) - ra - rb
+            for ca, ra in ba
+            for cb, rb in bb
+        )
+        (pruned if dmin > clearance else kept).append((na, nb))
+    return tuple(kept), tuple(pruned)
+
+
+# ---------------------------------------------------------------------------
 # compile-time broadphase
 # ---------------------------------------------------------------------------
 
@@ -479,24 +638,27 @@ def build_limit_plan(model: Model) -> Optional[LimitPlan]:
 def solve_packed(
     cfg: SolverConfig,
     dt: float,
-    v,                # (nv, B) velocity after unconstrained update
+    v,                # (nv, B) z = Lᵀ·(velocity after unconstrained update)
     q_arr,            # (nq, B)
     pc: Optional[PackedContacts],
-    J,                # (R, 3, nv, B) or None
-    w_sol,            # (R, 3, nv, B) = M⁻¹Jᵀ or None
+    w_sol,            # (R, 3, nv, B) = L⁻¹Jᵀ or None
     lim: Optional[LimitPlan],
-    w_lim,            # (L, nv, B) = M⁻¹ e_dof or None
+    w_lim,            # (L, nv, B) = L⁻¹ e_dof or None
 ):
-    """Fixed-order, fixed-count projected Gauss-Seidel. Returns
-    (v', v_pseudo, lambda_n) — v_pseudo enters the position integral only."""
+    """Fixed-order, fixed-count projected Gauss-Seidel in Cholesky
+    square-root space: for y = L⁻¹Jᵀ and z = Lᵀv, J·v = yᵀz and the impulse
+    update v += M⁻¹JᵀΔλ becomes z += yΔλ — so constraint rows need only the
+    forward half of the triangular solve, and ONE back substitution at the
+    end recovers v (step.py does it). Exactly the same fixed point as the
+    v-space sweep. Returns (z', z_pseudo, lambda_n)."""
     nv, B = v.shape
     vp = jnp.zeros_like(v)
     lam_n = None
 
     if pc is not None:
         R = pc.depth.shape[0]
-        dinv = 1.0 / (jnp.einsum("rid...,rid...->ri...", J, w_sol) + cfg.regularization)
-        vn_pre = jnp.einsum("rd...,d...->r...", J[:, 0], v)
+        dinv = 1.0 / (jnp.einsum("rid...,rid...->ri...", w_sol, w_sol) + cfg.regularization)
+        vn_pre = jnp.einsum("rd...,d...->r...", w_sol[:, 0], v)
         e_comb = cfg.restitution * cfg.geom_restitution
         if e_comb == 0.0:
             # Bullet-combined restitution is zero (the reference case for
@@ -524,9 +686,7 @@ def solve_packed(
 
     if lim is not None:
         L = lim.dof.shape[0]
-        dof_arr = jnp.asarray(lim.dof)
-        w_lim_d = w_lim[jnp.arange(L), lim.dof]           # (L, B)
-        dinv_lim = 1.0 / (w_lim_d + cfg.regularization)
+        dinv_lim = 1.0 / (jnp.sum(w_lim * w_lim, 1) + cfg.regularization)
         signs = jnp.asarray(lim.sign)[:, None]
         viol = signs * (jnp.asarray(lim.bound)[:, None] - q_arr[lim.qadr])
         b_lim = (cfg.limit_erp / dt) * viol
@@ -537,28 +697,27 @@ def solve_packed(
         if pc is not None:
             def row(carry, r):
                 v, vp, lam, lam_p = carry
-                Jr = J[r]            # (3, nv, B)
-                wr = w_sol[r]
+                yr = w_sol[r]        # (3, nv, B) = L⁻¹Jᵀ for this row
                 # normal
-                vn = jnp.sum(Jr[0] * v, 0)
+                vn = jnp.sum(yr[0] * v, 0)
                 new = jnp.maximum(lam[r, 0] + (b_vel[r] - vn) * dinv[r, 0], 0.0)
-                v = v + wr[0] * (new - lam[r, 0])
+                v = v + yr[0] * (new - lam[r, 0])
                 lam = lam.at[r, 0].set(new)
                 hi = mu[r] * new
                 # tangent 1
-                vt = jnp.sum(Jr[1] * v, 0)
+                vt = jnp.sum(yr[1] * v, 0)
                 new = jnp.clip(lam[r, 1] - vt * dinv[r, 1], -hi, hi)
-                v = v + wr[1] * (new - lam[r, 1])
+                v = v + yr[1] * (new - lam[r, 1])
                 lam = lam.at[r, 1].set(new)
                 # tangent 2
-                vt = jnp.sum(Jr[2] * v, 0)
+                vt = jnp.sum(yr[2] * v, 0)
                 new = jnp.clip(lam[r, 2] - vt * dinv[r, 2], -hi, hi)
-                v = v + wr[2] * (new - lam[r, 2])
+                v = v + yr[2] * (new - lam[r, 2])
                 lam = lam.at[r, 2].set(new)
                 # split-impulse position correction
-                vpn = jnp.sum(Jr[0] * vp, 0)
+                vpn = jnp.sum(yr[0] * vp, 0)
                 newp = jnp.maximum(lam_p[r] + (b_pos[r] - vpn) * dinv[r, 0], 0.0)
-                vp = vp + wr[0] * (newp - lam_p[r])
+                vp = vp + yr[0] * (newp - lam_p[r])
                 lam_p = lam_p.at[r].set(newp)
                 return (v, vp, lam, lam_p), None
 
@@ -570,7 +729,7 @@ def solve_packed(
             def lrow(carry, l):
                 v, lam_l = carry
                 s = signs[l]
-                vd = s * v[dof_arr[l]]
+                vd = s * jnp.sum(w_lim[l] * v, 0)
                 new = jnp.maximum(lam_l[l] + (b_lim[l] - vd) * dinv_lim[l], 0.0)
                 v = v + (s * w_lim[l]) * (new - lam_l[l])
                 lam_l = lam_l.at[l].set(new)
@@ -599,21 +758,21 @@ def solve_packed(
 
 
 def scalar_jacobians(model: Model, fk, sc: ScalarContacts):
-    """Per-row (Jn, Jt1, Jt2) as nv-lists with 0.0 structural zeros."""
+    """Per-row (Jn, Jt1, Jt2) as nv-lists with 0.0 structural zeros.
+    The per-dof contact-point velocity basis (lin + ang × P) is shared
+    across the three directions — one cross product per (row, dof)."""
     out = []
     for P, dirs, w in zip(sc.P, sc.D, sc.W):
-        row = []
-        for direction in dirs:
-            J = [0.0] * model.nv
-            for d in range(model.nv):
-                wd = float(w[d])
-                if wd == 0.0:
-                    continue
-                ang, lin = fk.S[d]
-                vel = sm.v3_add(lin, sm.v3_cross(ang, P))
-                J[d] = wd * sm.v3_dot(direction, vel)
-            row.append(J)
-        out.append(tuple(row))
+        rows = tuple([0.0] * model.nv for _ in range(3))
+        for d in range(model.nv):
+            wd = float(w[d])
+            if wd == 0.0:
+                continue
+            ang, lin = fk.S[d]
+            vel = sm.v3_add(lin, sm.v3_cross(ang, P))
+            for i, direction in enumerate(dirs):
+                rows[i][d] = wd * sm.v3_dot(direction, vel)
+        out.append(rows)
     return out
 
 
@@ -642,14 +801,20 @@ def solve_scalar(
     cfg: SolverConfig,
     dt: float,
     sc: Optional[ScalarContacts],
-    J,          # from scalar_jacobians, or None
-    w_rows,     # per row: (wn, wt1, wt2) nv-lists = M⁻¹Jᵀ, or None
+    y_rows,     # per row: (yn, yt1, yt2) nv-lists = L⁻¹Jᵀ, or None
     lim: Optional[LimitPlan],
-    w_lim,      # per limit row: nv-list = M⁻¹ e_dof, or None
+    y_lim,      # per limit row: nv-list = L⁻¹ e_dof, or None
     q: list,
-    v: list,
+    v: list,    # z = Lᵀ·(velocity after unconstrained update), nv-list
 ):
-    """Unrolled PGS; returns (v', v_pseudo, contact_lambda_n list)."""
+    """Unrolled PGS in Cholesky square-root space (see solve_packed): rows
+    are forward-solved only (y = L⁻¹Jᵀ), the sweep runs on z = Lᵀv where
+    J·v = yᵀz and impulses are z += yΔλ, and the caller back-substitutes
+    the returned z once. Effective masses JM⁻¹Jᵀ = |y|². Exactly the same
+    fixed point as the v-space sweep, at roughly half the per-row
+    triangular-solve cost — and y's support (the subtree closure of J's)
+    is narrower than M⁻¹Jᵀ's (ancestor closure), so sweeps touch fewer
+    dofs too. Returns (z', z_pseudo, contact_lambda_n list)."""
     nv = model.nv
     like = v[0]
     zero = jnp.zeros_like(like)
@@ -659,12 +824,11 @@ def solve_scalar(
     sol = []
     if sc is not None:
         for r in range(len(sc.P)):
-            Jn, Jt1, Jt2 = J[r]
-            wn, wt1, wt2 = w_rows[r]
-            dn = 1.0 / (_sdot(Jn, wn) + cfg.regularization)
-            dt1 = 1.0 / (_sdot(Jt1, wt1) + cfg.regularization)
-            dt2 = 1.0 / (_sdot(Jt2, wt2) + cfg.regularization)
-            vn_pre = _sdot(Jn, v)
+            yn, yt1, yt2 = y_rows[r]
+            dn = 1.0 / (_sdot(yn, yn) + cfg.regularization)
+            dt1 = 1.0 / (_sdot(yt1, yt1) + cfg.regularization)
+            dt2 = 1.0 / (_sdot(yt2, yt2) + cfg.regularization)
+            vn_pre = _sdot(yn, v)
             depth = sc.depth[r]
             e_comb = cfg.restitution * cfg.geom_restitution
             if e_comb == 0.0:
@@ -683,14 +847,14 @@ def solve_scalar(
                     jnp.where((bounce > 0.0) & touching, bounce, depth / dt),
                 )
             b_pos = (cfg.erp / dt) * (depth - cfg.slop)
-            sol.append((Jn, Jt1, Jt2, wn, wt1, wt2, dn, dt1, dt2, b_vel, b_pos, sc.mu[r]))
+            sol.append((yn, yt1, yt2, dn, dt1, dt2, b_vel, b_pos, sc.mu[r]))
 
     lsol = []
     if lim is not None:
         for i in range(lim.dof.shape[0]):
             d = int(lim.dof[i])
-            w = w_lim[i]
-            dinv = 1.0 / (w[d] + cfg.regularization)
+            w = y_lim[i]
+            dinv = 1.0 / (_sdot(w, w) + cfg.regularization)
             sign = float(lim.sign[i])
             viol = sign * (float(lim.bound[i]) - q[int(lim.qadr[i])])
             b = (cfg.limit_erp / dt) * viol
@@ -703,26 +867,26 @@ def solve_scalar(
     lam_l = [zero] * len(lsol)
 
     for _ in range(cfg.iterations):
-        for i, (Jn, Jt1, Jt2, wn, wt1, wt2, dn, dt1, dt2, b_vel, b_pos, mu) in enumerate(sol):
-            vn = _sdot(Jn, v)
+        for i, (yn, yt1, yt2, dn, dt1, dt2, b_vel, b_pos, mu) in enumerate(sol):
+            vn = _sdot(yn, v)
             new = jnp.maximum(lam_n[i] + (b_vel - vn) * dn, 0.0)
-            _sapply(v, wn, new - lam_n[i])
+            _sapply(v, yn, new - lam_n[i])
             lam_n[i] = new
             hi = mu * new
-            vt = _sdot(Jt1, v)
+            vt = _sdot(yt1, v)
             new = jnp.clip(lam_t1[i] - vt * dt1, -hi, hi)
-            _sapply(v, wt1, new - lam_t1[i])
+            _sapply(v, yt1, new - lam_t1[i])
             lam_t1[i] = new
-            vt = _sdot(Jt2, v)
+            vt = _sdot(yt2, v)
             new = jnp.clip(lam_t2[i] - vt * dt2, -hi, hi)
-            _sapply(v, wt2, new - lam_t2[i])
+            _sapply(v, yt2, new - lam_t2[i])
             lam_t2[i] = new
-            vpn = _sdot(Jn, vp)
+            vpn = _sdot(yn, vp)
             new = jnp.maximum(lam_p[i] + (b_pos - vpn) * dn, 0.0)
-            _sapply(vp, wn, new - lam_p[i])
+            _sapply(vp, yn, new - lam_p[i])
             lam_p[i] = new
         for i, (d, sign, w, dinv, b) in enumerate(lsol):
-            vd = v[d] if sign > 0 else -v[d]
+            vd = sign * _sdot(w, v)
             new = jnp.maximum(lam_l[i] + (b - vd) * dinv, 0.0)
             _sapply(v, w, sign * (new - lam_l[i]))
             lam_l[i] = new

@@ -366,9 +366,18 @@ def factorize(M):
 
 def solve_factored(Lc, rhs):
     """Solve M x = rhs with Lc = chol(M); rhs (B..., nv, K)."""
-    y = jax.lax.linalg.triangular_solve(
+    return solve_back(Lc, solve_fwd(Lc, rhs))
+
+
+def solve_fwd(Lc, rhs):
+    """Forward substitution y = L⁻¹ rhs; rhs (B..., nv, K)."""
+    return jax.lax.linalg.triangular_solve(
         Lc, rhs, left_side=True, lower=True, transpose_a=False
     )
+
+
+def solve_back(Lc, y):
+    """Back substitution x = L⁻ᵀ y; y (B..., nv, K)."""
     return jax.lax.linalg.triangular_solve(
         Lc, y, left_side=True, lower=True, transpose_a=True
     )
@@ -403,9 +412,10 @@ def cholesky(M: List[List], eps: float = 1e-9):
     return L, inv_diag
 
 
-def chol_solve(L, inv_diag, b: Sequence):
-    """Solve M x = b given L (lower) with M = L Lᵀ. b: list of nv scalars
-    (0.0 allowed as structural zero)."""
+def chol_solve_fwd(L, inv_diag, b: Sequence):
+    """Forward substitution y = L⁻¹ b. b: list of nv scalars (0.0 allowed
+    as structural zero — leading zeros propagate, so a constraint row whose
+    support starts deep in the tree costs only its subtree)."""
     n = len(L)
     y = [0.0] * n
     for i in range(n):
@@ -414,6 +424,12 @@ def chol_solve(L, inv_diag, b: Sequence):
             if not (_is0(L[i][k]) or _is0(y[k])):
                 s = _add(s, -_mul(L[i][k], y[k]))
         y[i] = 0.0 if _is0(s) else s * inv_diag[i]
+    return y
+
+
+def chol_solve_back(L, inv_diag, y: Sequence):
+    """Back substitution x = L⁻ᵀ y (structural zeros skipped)."""
+    n = len(L)
     x = [0.0] * n
     for i in range(n - 1, -1, -1):
         s = y[i]
@@ -422,6 +438,27 @@ def chol_solve(L, inv_diag, b: Sequence):
                 s = _add(s, -_mul(L[k][i], x[k]))
         x[i] = 0.0 if _is0(s) else s * inv_diag[i]
     return x
+
+
+def lt_matvec(L, v: Sequence):
+    """z = Lᵀ v (lists; structural zeros skipped). The change of basis into
+    Cholesky square-root space: constraint rows J satisfy J·v = (L⁻¹Jᵀ)ᵀz,
+    so the whole PGS sweep can run on z with forward-solved rows only."""
+    n = len(L)
+    z = [0.0] * n
+    for i in range(n):
+        s = _mul(L[i][i], v[i]) if not _is0(v[i]) else 0.0
+        for k in range(i + 1, n):
+            if not (_is0(L[k][i]) or _is0(v[k])):
+                s = _madd(s, L[k][i], v[k])
+        z[i] = s
+    return z
+
+
+def chol_solve(L, inv_diag, b: Sequence):
+    """Solve M x = b given L (lower) with M = L Lᵀ. b: list of nv scalars
+    (0.0 allowed as structural zero)."""
+    return chol_solve_back(L, inv_diag, chol_solve_fwd(L, inv_diag, b))
 
 
 # ---------------------------------------------------------------------------
@@ -447,9 +484,10 @@ def passive_forces(model: Model, q: Sequence, v: Sequence) -> List:
     return taup
 
 
-def fwd_dynamics(model: Model, fk: FK, q, v, tau, gravity):
-    """qdd = M⁻¹ (tau + tau_passive − C). Returns (qdd, L, inv_diag) so the
-    contact solver can reuse the factorization."""
+def rhs_and_factor(model: Model, fk: FK, q, v, tau, gravity):
+    """Unconstrained-dynamics RHS (tau + tau_passive − C) and the Cholesky
+    factor of M, without solving — the square-root-space contact path
+    forward-solves the RHS together with its constraint rows."""
     C = bias_forces(model, fk, gravity)
     taup = passive_forces(model, q, v)
     rhs = [
@@ -458,6 +496,13 @@ def fwd_dynamics(model: Model, fk: FK, q, v, tau, gravity):
     ]
     M = mass_matrix(model, fk)
     L, inv_diag = cholesky(M)
+    return rhs, L, inv_diag
+
+
+def fwd_dynamics(model: Model, fk: FK, q, v, tau, gravity):
+    """qdd = M⁻¹ (tau + tau_passive − C). Returns (qdd, L, inv_diag) so the
+    contact solver can reuse the factorization."""
+    rhs, L, inv_diag = rhs_and_factor(model, fk, q, v, tau, gravity)
     qdd = chol_solve(L, inv_diag, rhs)
     return qdd, L, inv_diag
 

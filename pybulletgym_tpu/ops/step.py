@@ -110,7 +110,11 @@ def make_substep(model: Model, cfg: PhysicsConfig):
             pc = ct.narrowphase(model, fk, plan)
         J = ct.contact_jacobians(model, S6, pc) if pc is not None else None
 
-        # One batched Cholesky solve for qdd + every constraint row.
+        # One batched FORWARD substitution for qdd + every constraint row:
+        # the PGS runs in Cholesky square-root space (see ct.solve_packed),
+        # so constraint rows need y = L⁻¹Jᵀ only, and a single back
+        # substitution afterwards recovers (v, v_pseudo) — half the
+        # triangular-solve work of full M⁻¹Jᵀ per row.
         cols = [rhs_dyn.T[..., None]]                    # (B, nv, 1)
         if pc is not None:
             cols.append(jnp.transpose(J.reshape(3 * R, model.nv, B), (2, 1, 0)))
@@ -119,27 +123,37 @@ def make_substep(model: Model, cfg: PhysicsConfig):
         RHS = jnp.concatenate(cols, axis=-1)
         with jax.named_scope("cholesky_solve"):
             Lc = dyn.factorize(M)
-            X = dyn.solve_factored(Lc, RHS)              # (B, nv, K)
-        qdd = X[..., 0].T                                # (nv, B)
+            Y = dyn.solve_fwd(Lc, RHS)                   # (B, nv, K)
+        y_dyn = Y[..., 0].T                              # (nv, B) = L⁻¹ rhs
         ofs = 1
-        w_sol = None
+        y_sol = None
         if pc is not None:
-            w_sol = jnp.transpose(X[..., ofs : ofs + 3 * R], (2, 1, 0)).reshape(
+            y_sol = jnp.transpose(Y[..., ofs : ofs + 3 * R], (2, 1, 0)).reshape(
                 R, 3, model.nv, B
             )
             ofs += 3 * R
-        w_lim = None
+        y_lim = None
         if lim is not None:
-            w_lim = jnp.transpose(X[..., ofs : ofs + L], (2, 1, 0))  # (L, nv, B)
+            y_lim = jnp.transpose(Y[..., ofs : ofs + L], (2, 1, 0))  # (L, nv, B)
 
-        v2 = v + cfg.timestep * qdd
         if pc is not None or lim is not None:
+            # z = Lᵀ v2 = Lᵀ v + dt · L⁻¹ rhs. The matvec unrolls over nv
+            # as elementwise ops so the accumulation order is identical for
+            # every batch shard — a dot_general contraction here broke the
+            # {1,8}-device bitwise-hash matrix (tests/test_determinism.py).
+            z = cfg.timestep * y_dyn
+            for i in range(model.nv):
+                z = z + jnp.transpose(Lc[:, i, :]) * v[i]
             with jax.named_scope("pgs_solver"):
-                v3, vp, _ = ct.solve_packed(
-                    cfg.solver, cfg.timestep, v2, q, pc, J, w_sol, lim, w_lim
+                z3, zp, _ = ct.solve_packed(
+                    cfg.solver, cfg.timestep, z, q, pc, y_sol, lim, y_lim
                 )
+            with jax.named_scope("back_substitute"):
+                X = dyn.solve_back(Lc, jnp.stack([z3.T, zp.T], axis=-1))
+            v3, vp = X[..., 0].T, X[..., 1].T
         else:
-            v3, vp = v2, jnp.zeros_like(v2)
+            qdd = dyn.solve_back(Lc, Y[..., :1])[..., 0].T
+            v3, vp = v + cfg.timestep * qdd, jnp.zeros_like(v)
         v3 = jnp.clip(v3, -cfg.max_velocity, cfg.max_velocity)
 
         # split impulse: pseudo-velocities only enter the position integral
@@ -202,30 +216,47 @@ def make_substep_scalar(model: Model, cfg: PhysicsConfig):
     def substep(q, v, tau):
         q, v = list(q), list(v)
         fk = dyn.forward_kinematics(model, q, v)
-        qdd, L, inv_diag = dyn.fwd_dynamics(model, fk, q, v, list(tau), cfg.gravity)
-        v2 = [
-            v[d] + cfg.timestep * qdd[d] if not _is0f(qdd[d]) else v[d]
-            for d in range(model.nv)
-        ]
+        rhs, L, inv_diag = dyn.rhs_and_factor(
+            model, fk, q, v, list(tau), cfg.gravity
+        )
+        # square-root-space contact solve (see ct.solve_scalar): constraint
+        # rows forward-solve only; ONE back substitution recovers v/vp.
+        y_dyn = dyn.chol_solve_fwd(L, inv_diag, rhs)
         sc = ct.narrowphase_scalar(model, fk, plan)
-        J = w_rows = w_lim = None
-        if sc is not None:
-            J = ct.scalar_jacobians(model, fk, sc)
-            w_rows = [
-                tuple(dyn.chol_solve(L, inv_diag, Jd) for Jd in row) for row in J
-            ]
-        if lim is not None:
-            w_lim = []
-            for i in range(lim.dof.shape[0]):
-                rhs = [0.0] * model.nv
-                rhs[int(lim.dof[i])] = 1.0
-                w_lim.append(dyn.chol_solve(L, inv_diag, rhs))
         if sc is not None or lim is not None:
-            v3, vp, _ = ct.solve_scalar(
-                model, cfg.solver, cfg.timestep, sc, J, w_rows, lim, w_lim, q, v2
+            zv = dyn.lt_matvec(L, v)
+            z = []
+            for d in range(model.nv):
+                t = zv[d]
+                if not _is0f(y_dyn[d]):
+                    dy = cfg.timestep * y_dyn[d]
+                    t = dy if _is0f(t) else t + dy
+                z.append(t)
+            y_rows = y_lim = None
+            if sc is not None:
+                J = ct.scalar_jacobians(model, fk, sc)
+                y_rows = [
+                    tuple(dyn.chol_solve_fwd(L, inv_diag, Jd) for Jd in row)
+                    for row in J
+                ]
+            if lim is not None:
+                y_lim = []
+                for i in range(lim.dof.shape[0]):
+                    e = [0.0] * model.nv
+                    e[int(lim.dof[i])] = 1.0
+                    y_lim.append(dyn.chol_solve_fwd(L, inv_diag, e))
+            z3, zp, _ = ct.solve_scalar(
+                model, cfg.solver, cfg.timestep, sc, y_rows, lim, y_lim, q, z
             )
+            v3 = dyn.chol_solve_back(L, inv_diag, z3)
+            vp = dyn.chol_solve_back(L, inv_diag, zp)
         else:
-            v3, vp = v2, [0.0] * model.nv
+            qdd = dyn.chol_solve_back(L, inv_diag, y_dyn)
+            v3 = [
+                v[d] + cfg.timestep * qdd[d] if not _is0f(qdd[d]) else v[d]
+                for d in range(model.nv)
+            ]
+            vp = [0.0] * model.nv
         v3 = [
             vd if _is0f(vd) else jnp.clip(vd, -cfg.max_velocity, cfg.max_velocity)
             for vd in v3
