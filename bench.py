@@ -200,7 +200,11 @@ def main():
         rows = []
         for env_id in ["HalfCheetahPyBulletEnv-v0", "Walker2DPyBulletEnv-v0",
                        "HopperPyBulletEnv-v0", "AntPyBulletEnv-v0",
-                       "HumanoidPyBulletEnv-v0"]:
+                       "HumanoidPyBulletEnv-v0",
+                       "HumanoidFlagrunHarderPyBulletEnv-v0",
+                       "AtlasPyBulletEnv-v0",
+                       "HalfCheetahMuJoCoEnv-v0", "Walker2DMuJoCoEnv-v0",
+                       "AntMuJoCoEnv-v0", "HumanoidMuJoCoEnv-v0"]:
             v, backend = bench(env_id, batch=4096, n_steps=200, iters=3)
             rows.append((env_id, v, backend))
             print(f"{env_id}: {v:,.0f} env-steps/s ({backend})", flush=True)

@@ -20,7 +20,8 @@ WEIGHTS = sorted(
     p for p in glob.glob(
         os.path.join(os.path.dirname(__file__), "..", "examples", "weights", "*.npz")
     )
-    if not p.endswith(".trainstate.npz")  # optimizer checkpoints, not policies
+    # optimizer/learner checkpoints, not policies
+    if not p.endswith((".trainstate.npz", ".saclearner.npz"))
 )
 
 # env id -> minimum acceptable mean return (conservative floors: the
