@@ -53,10 +53,12 @@ PPO_JOBS = [
     # demo. Humanoid-family quality lifts follow; mirror polish trails.
     ("HalfCheetahPyBulletEnv-v0", 3050.0, 60, 3,
      ["--algo", "sac", "--hidden", "256,256", "--eval-every", "40"]),
+    # Round-5 mid-round switch: the 128,128 PPO recipe spikes to ~1000 by
+    # iter 80 then self-destructs (975 -> 100 inside one chunk; resumed
+    # chunks train the corpse). SAC is the known-good closer here — same
+    # recipe as HalfCheetah; the best-guard protects the 1193 PPO npz.
     ("Walker2DPyBulletEnv-v0", 2550.0, 60, 2,
-     ["--normalize", "--entropy", "0.005", "--hidden", "128,128",
-      "--anneal-updates", "30000", "--log-std-init", "-0.7",
-      "--eval-every", "40"]),
+     ["--algo", "sac", "--hidden", "256,256", "--eval-every", "40"]),
     # HopperMuJoCo's distilled policy is broken (69 — Gym-v2 healthy bounds
     # cut the PB gait short): effectively a no-policy env, PPO from scratch
     ("HopperMuJoCoEnv-v0", 1800.0, 30, 2,
