@@ -29,6 +29,7 @@ def test_fk_matches_env_obs(env_id):
 
 
 @pytest.mark.parametrize("env_id", ENVS)
+@pytest.mark.slow  # 150-step expert rollouts x6 envs (round-5 chunk rebalance)
 def test_expert_actions_valid(env_id):
     env = pg.make_batched(env_id, 4, backend="xla", jit=False)
     s = env.reset(seed=5)

@@ -2,6 +2,7 @@
 on the virtual 8-CPU-device mesh reshaped (2, 4)."""
 
 import jax
+import pytest
 import numpy as np
 
 import pybulletgym_tpu as pg
@@ -10,6 +11,7 @@ from pybulletgym_tpu.parallel import mesh as pmesh
 from tests.conftest import cpu_devices
 
 
+@pytest.mark.slow  # multi-device compile-heavy (round-5 chunk rebalance)
 def test_env_step_on_host_env_mesh():
     mesh = pmesh.make_mesh_2d(n_hosts=2, devices=cpu_devices(8))
     assert mesh.axis_names == ("host", "env")
@@ -29,6 +31,7 @@ def test_env_step_on_host_env_mesh():
     assert shard_count == 8
 
 
+@pytest.mark.slow  # multi-device compile-heavy (round-5 chunk rebalance)
 def test_ppo_train_step_on_host_env_mesh():
     from pybulletgym_tpu.parallel import ppo
 

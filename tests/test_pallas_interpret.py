@@ -6,6 +6,7 @@ reward in one program). Numerical equivalence vs the XLA path is asserted
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 import pybulletgym_tpu as pg
 from pybulletgym_tpu.envs.base import make_env
@@ -14,6 +15,7 @@ from pybulletgym_tpu.ops.pallas_engine import TILE, make_pallas_env_step
 B = TILE  # one kernel program
 
 
+@pytest.mark.slow  # pallas interpret mode is minutes-scale (round-5 chunk rebalance)
 def test_interpret_env_step_matches_xla():
     task = pg.make_task("InvertedPendulumPyBulletEnv-v0")
     step_p = make_pallas_env_step(task, interpret=True)

@@ -35,6 +35,7 @@ def test_train_step_runs_and_params_update():
     assert int(ts2.opt_count) == 4  # epochs * minibatches
 
 
+@pytest.mark.slow  # multi-device compile-heavy (round-5 chunk rebalance)
 def test_train_step_sharded_over_mesh():
     from tests.conftest import cpu_devices
 
@@ -61,6 +62,7 @@ def test_learning_signal_on_pendulum():
     assert np.isfinite(float(metrics["reward_mean"]))
 
 
+@pytest.mark.slow  # multi-device compile-heavy (round-5 chunk rebalance)
 def test_graft_entry_dryrun():
     """The driver's multi-chip dry run must pass on the virtual mesh."""
     import importlib.util, pathlib

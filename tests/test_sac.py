@@ -6,6 +6,7 @@ companion to parallel.ppo used to produce frozen-policy demos for the
 hard-exploration pendula."""
 
 import jax
+import pytest
 import numpy as np
 
 import pybulletgym_tpu as pg
@@ -53,6 +54,7 @@ def test_replay_ring_wraps():
     assert np.all(np.isfinite(np.asarray(ss.buf_obs)))
 
 
+@pytest.mark.slow  # multi-device compile-heavy (round-5 chunk rebalance)
 def test_sac_sharded_over_mesh():
     from tests.conftest import cpu_devices
 

@@ -31,6 +31,7 @@ def _shard_state(state, mesh):
     return jax.tree.map(put, state)
 
 
+@pytest.mark.slow  # multi-device compile-heavy (round-5 chunk rebalance)
 def test_sharded_step_bitwise_equal(mesh):
     B = 64
     env = pg.make_batched("HopperPyBulletEnv-v0", B, backend="xla", jit=False)
@@ -60,6 +61,7 @@ def test_sharded_step_bitwise_equal(mesh):
     np.testing.assert_array_equal(ref, out)
 
 
+@pytest.mark.slow  # multi-device compile-heavy (round-5 chunk rebalance)
 def test_rollout_scan_under_shard(mesh):
     """A lax.scan rollout (the production shape) compiles and runs sharded."""
     B = 64

@@ -59,10 +59,12 @@ PPO_JOBS = [
     # recipe as HalfCheetah; the best-guard protects the 1193 PPO npz.
     ("Walker2DPyBulletEnv-v0", 2550.0, 60, 2,
      ["--algo", "sac", "--hidden", "256,256", "--eval-every", "40"]),
-    # HopperMuJoCo's distilled policy is broken (69 — Gym-v2 healthy bounds
-    # cut the PB gait short): effectively a no-policy env, PPO from scratch
+    # HopperMuJoCo: round-5 PPO-from-scratch fixed the broken distill
+    # (69 -> 1492 ship) but plateaued at 27k iters below the 1800 target;
+    # switch to the SAC closer recipe (same as the HalfCheetah run that
+    # went 2442 -> 3130). Best-guard protects the 1492 npz.
     ("HopperMuJoCoEnv-v0", 1800.0, 30, 2,
-     ["--normalize", "--entropy", "0.003", "--eval-every", "40"]),
+     ["--algo", "sac", "--hidden", "256,256", "--eval-every", "40"]),
     # Humanoid family: the reference's marquee demos (SURVEY §3.5).
     # 4.25x step cost — resumes continue round-4 trainstates.
     ("HumanoidPyBulletEnv-v0", 2500.0, 80, 2,
