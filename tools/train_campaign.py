@@ -267,6 +267,9 @@ def _drive(args, deadline, meta, state, es, step_j, evaluate, eval_params,
            save_best, save_ck, meta_path, steps_per_iter):
     it = int(meta["iters"])
     best = float(meta["best"])
+    # algo label tracks whichever run produced the CURRENT best npz (the
+    # policy-table reads it) — not merely the last chunk's algo
+    best_algo = meta.get("algo", "ppo")
     t0 = time.time()
     it0 = it
     hits = 0
@@ -304,6 +307,7 @@ def _drive(args, deadline, meta, state, es, step_j, evaluate, eval_params,
             if mean > best:
                 best = mean
                 save_best(state)
+                best_algo = args.algo
                 mark = " *best*"
             print(f"eval @{it}: mean {mean:+.1f} min {rets.min():+.1f} "
                   f"max {rets.max():+.1f}{mark}", flush=True)
@@ -317,7 +321,7 @@ def _drive(args, deadline, meta, state, es, step_j, evaluate, eval_params,
 
     save_ck(state)
     with open(meta_path, "w") as f:
-        json.dump({"best": best, "iters": it}, f)
+        json.dump({"best": best, "iters": it, "algo": best_algo}, f)
     print(f"campaign chunk done: iter {it}, best {best:+.1f}", flush=True)
     if args.target is not None and best >= args.target:
         print("TARGET_MET", flush=True)
